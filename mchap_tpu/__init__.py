@@ -1,0 +1,24 @@
+"""mchap_tpu — a TPU-native micro-haplotype assembly and genotype-calling engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of MCHap
+(PlantandFoodResearch/MCHap): micro-haplotype assembly and genotype calling
+in autopolyploids.  The reference's per-locus numba MCMC samplers become
+batched, jitted JAX programs in which many locus x sample x chain Markov
+chains run data-parallel on device; the read-pileup log-likelihood is a
+single MXU matmul computed once per sample rather than a per-proposal
+triple loop.
+
+Public API mirrors the reference's ``mchap/__init__.py``:
+``DenovoMCMC``, ``CallingMCMC``, ``Locus``/``LocusPrior``/``SNP``,
+``read_bed4``, read extraction + encoding helpers, and the ``mchap``
+CLI (``python -m mchap_tpu``).
+"""
+
+import jax
+
+# Combinadic genotype indices and exact log-space reductions need 64-bit
+# integers/floats; hot kernels request f32/bf16 explicitly so this only
+# affects the small summary computations.
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
