@@ -1,0 +1,226 @@
+"""CallingMCMC model: known-haplotype genotype calling by batched MCMC.
+
+API parity with reference ``mchap/calling/classes.py`` (CallingMCMC,
+GenotypeAllelesMultiTrace, PosteriorGenotypeAllelesDistribution), with
+the sampler redesigned for TPU: all chains run as one batched device
+program (ops/calling_mcmc.py); posterior tabulation happens host-side on
+the small trace.
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mchap_tpu import mset
+from mchap_tpu.numerics.combinadics import count_unique_genotypes
+from mchap_tpu.numerics.dosage import allelic_dosage  # noqa: F401 (re-export)
+from mchap_tpu.ops import calling_mcmc as _kernel
+from mchap_tpu.ops.likelihood import prepare_reads, read_hap_loglik
+
+
+def _prior_kind_and_params(prior, n_alleles):
+    """Translate the reference's ``prior`` tuple into kernel parameters."""
+    if prior is None:
+        return 0, 0.0, None
+    inbreeding, frequencies = prior
+    freqs = (
+        jnp.asarray(frequencies, jnp.float64)
+        if frequencies is not None
+        else None
+    )
+    return 1, float(inbreeding), freqs
+
+
+@dataclass
+class CallingMCMC:
+    """MCMC genotype caller over a known haplotype panel.
+
+    Attributes mirror reference calling/classes.py:15-47.
+    """
+
+    ploidy: int
+    haplotypes: np.ndarray
+    prior: tuple = None
+    steps: int = 1000
+    chains: int = 2
+    random_seed: int = None
+    step_type: str = "Gibbs"
+
+    def fit(self, reads, read_counts=None, initial=None):
+        """Run ``chains`` batched MCMC chains; returns a multi-chain trace.
+
+        Reference semantics: calling/classes.py:49-124 (zero-variant
+        shortcut, greedy initialisation, per-step sorted genotypes).
+        """
+        haplotypes = np.asarray(self.haplotypes)
+        n_alleles = len(haplotypes)
+
+        # zero-variant shortcut: only the reference allele exists
+        if reads.shape[1] == 0:
+            assert n_alleles == 1
+            genotypes = np.zeros((self.chains, self.steps, self.ploidy), np.int8)
+            llks = np.full((self.chains, self.steps), np.nan)
+            return GenotypeAllelesMultiTrace(genotypes, llks, n_alleles)
+
+        if read_counts is None:
+            read_counts = np.ones(len(reads))
+
+        log_reads = prepare_reads(reads)
+        read_hap = read_hap_loglik(log_reads, jnp.asarray(haplotypes))
+        counts = jnp.asarray(read_counts, read_hap.dtype)
+
+        prior_kind, inbreeding, freqs = _prior_kind_and_params(self.prior, n_alleles)
+
+        if initial is None:
+            initial = _kernel.greedy_caller(
+                read_hap,
+                counts,
+                ploidy=self.ploidy,
+                prior_kind=prior_kind,
+                inbreeding=inbreeding,
+                frequencies=freqs,
+            )
+        initial = jnp.broadcast_to(
+            jnp.asarray(initial, jnp.int32), (self.chains, self.ploidy)
+        )
+
+        if self.step_type == "Gibbs":
+            step_type = 0
+        elif self.step_type == "Metropolis-Hastings":
+            step_type = 1
+        else:
+            raise ValueError('MCMC step type must be "Gibbs" or "Metropolis-Hastings"')
+
+        seed = self.random_seed if self.random_seed is not None else 0
+        key = jax.random.PRNGKey(seed)
+        genotypes, llks = _kernel.calling_sampler(
+            key,
+            initial,
+            read_hap,
+            counts,
+            n_steps=self.steps,
+            step_type=step_type,
+            prior_kind=prior_kind,
+            inbreeding=inbreeding,
+            frequencies=freqs,
+        )
+        return GenotypeAllelesMultiTrace(
+            np.asarray(genotypes, np.int32), np.asarray(llks), n_alleles
+        )
+
+
+@dataclass
+class GenotypeAllelesMultiTrace:
+    """Multi-chain trace of allele-index genotypes.
+
+    Reference: calling/classes.py:127-297.
+    """
+
+    genotypes: np.ndarray  # [n_chains, n_steps, ploidy]
+    llks: np.ndarray  # [n_chains, n_steps]
+    n_allele: int
+
+    def relabel(self, labels):
+        """Map alleles through ``labels``; reference classes.py:147-165."""
+        return type(self)(labels[self.genotypes], self.llks, labels.max() + 1)
+
+    def burn(self, n):
+        """Drop the first ``n`` steps of each chain."""
+        return type(self)(self.genotypes[:, n:], self.llks[:, n:], self.n_allele)
+
+    def posterior(self):
+        """Posterior over unique genotypes (frequency in merged trace)."""
+        n_chain, n_step = self.genotypes.shape[:2]
+        flat = self.genotypes.reshape((n_chain * n_step,) + self.genotypes.shape[2:])
+        states, counts = mset.unique_counts(flat)
+        probs = counts / counts.sum()
+        idx = np.flip(np.argsort(probs, kind="stable"))
+        return PosteriorGenotypeAllelesDistribution(states[idx], probs[idx])
+
+    def split(self):
+        """Yield single-chain traces."""
+        for genotypes, llks in zip(self.genotypes, self.llks):
+            yield type(self)(genotypes[None], llks[None], self.n_allele)
+
+    def replicate_incongruence(self, threshold=0.6):
+        """0/1/2 = congruent / incongruent / putative CNV.
+
+        Reference: calling/classes.py:228-260.
+        """
+        out = 0
+        chain_modes = [
+            chain.posterior().mode(genotype_support=True) for chain in self.split()
+        ]
+        alleles = [mode[0] for mode in chain_modes if mode[-1] >= threshold]
+        mode_count = len({array.tobytes() for array in alleles})
+        if mode_count > 1:
+            out = 1
+            ploidy = len(alleles[0])
+            allele_count = len(set(np.array(alleles).ravel()))
+            if allele_count > ploidy:
+                out = 2
+        return out
+
+    def posterior_frequencies(self):
+        """(freqs, counts, occurrence) of alleles over the merged trace.
+
+        Vectorized equivalent of reference ``_posterior_frequencies``
+        (classes.py:277-297).
+        """
+        g = self.genotypes.reshape(-1, self.genotypes.shape[-1])
+        n_obs, ploidy = g.shape
+        counts = np.bincount(g.ravel(), minlength=self.n_allele).astype(float)
+        # occurrence: count each allele once per genotype observation
+        eq = g[:, :, None] == g[:, None, :]
+        first = ~np.any(np.tril(eq, k=-1), axis=-1)  # slot is first occurrence
+        occ_alleles = g[first]
+        occurrence = np.bincount(occ_alleles, minlength=self.n_allele).astype(float)
+        counts /= n_obs
+        occurrence /= n_obs
+        return counts / ploidy, counts, occurrence
+
+
+@dataclass
+class PosteriorGenotypeAllelesDistribution:
+    """Posterior over observed genotypes; reference classes.py:300-368."""
+
+    genotypes: np.ndarray
+    probabilities: np.ndarray
+
+    def mode(self, genotype_support=False):
+        """Mode genotype, optionally with genotype-support statistics."""
+        if genotype_support is False:
+            idx = np.argmax(self.probabilities)
+            return self.genotypes[idx], self.probabilities[idx]
+        # group genotypes by their allele-support set
+        labels = {}
+        probs = {}
+        assignment = np.zeros(len(self.genotypes), dtype=int)
+        for i, gen in enumerate(self.genotypes):
+            key = np.unique(gen).tobytes()
+            if key not in labels:
+                labels[key] = i
+                probs[i] = self.probabilities[i]
+            else:
+                probs[labels[key]] += self.probabilities[i]
+            assignment[i] = labels[key]
+        keys, vals = zip(*probs.items())
+        mode_label = keys[int(np.argmax(vals))]
+        idx = assignment == mode_label
+        genotypes = self.genotypes[idx]
+        prob = self.probabilities[idx]
+        best = np.argmax(prob)
+        return genotypes[best], prob[best], prob.sum()
+
+    def as_array(self, n_alleles):
+        """Dense probability vector over all possible genotypes."""
+        _, ploidy = self.genotypes.shape
+        from mchap_tpu.numerics.combinadics import genotype_alleles_as_index
+
+        u_genotypes = count_unique_genotypes(n_alleles, ploidy)
+        out = np.zeros(u_genotypes)
+        idx = np.asarray(genotype_alleles_as_index(np.sort(self.genotypes, axis=-1)))
+        out[idx] = self.probabilities
+        return out
