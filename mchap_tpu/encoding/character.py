@@ -15,9 +15,10 @@ def as_allelic(array, alleles=None, dtype=np.int8):
     array = np.asarray(array)
     shape = array.shape
     if array.ndim == 1:
-        symbols = array.reshape(1, -1)
+        symbols = array.reshape(1, shape[-1] if shape else 0)
     else:
-        symbols = array.reshape(-1, shape[-1])
+        n_seq = int(np.prod(shape[:-1]))
+        symbols = array.reshape(n_seq, shape[-1])
     n_seq, n_pos = symbols.shape
     out = np.full((n_seq, n_pos), -1, dtype=dtype)
     if alleles is None:
