@@ -1,0 +1,373 @@
+"""DenovoMCMC model: de novo haplotype assembly by batched MCMC.
+
+API parity with reference ``mchap/assemble/mcmc.py`` (DenovoMCMC) and
+``mchap/assemble/classes.py`` (GenotypeMultiTrace,
+PosteriorGenotypeDistribution, GenotypeSupportDistribution), plus
+``haplotype_calling.call_posterior_haplotypes``.  The sampler runs as a
+single batched device program (ops/assemble_mcmc.py); homozygote-fixed
+positions stay in the state with n_alleles = 1 instead of being sliced
+out, keeping one compiled shape per (ploidy, n_base, reads) bucket.
+"""
+
+from collections import Counter
+from dataclasses import dataclass, field
+from functools import reduce
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import stats as _stats
+
+from mchap_tpu import mset
+from mchap_tpu.encoding import integer
+from mchap_tpu.ops import assemble_mcmc as _kernel
+from mchap_tpu.ops.likelihood import prepare_reads
+
+
+def _point_beta_probabilities(n_base, a=1, b=1):
+    """Discretized Beta pmf over break counts; reference mcmc.py:429-452."""
+    dist = _stats.beta(a, b)
+    points = np.arange(1, n_base + 1) / n_base
+    probs = dist.cdf(points)
+    probs[1:] = probs[1:] - probs[:-1]
+    return probs
+
+
+def _read_mean_dist(reads):
+    """Mean read distribution used for genotype init; mcmc.py:455-491."""
+    reads = np.array(reads, dtype=float)
+    n_reads = len(reads)
+    gaps = np.isnan(reads).all(axis=0)
+    reads[np.tile(gaps, (n_reads, 1, 1))] = 1
+    dist = np.nanmean(reads, axis=0)
+    n_alleles = np.sum(~np.all(reads == 0, axis=0), axis=1, keepdims=True)
+    fill = 1 / np.tile(n_alleles, (1, reads.shape[-1]))
+    dist[gaps] = fill[gaps]
+    dist /= dist.sum(axis=-1, keepdims=True)
+    return dist
+
+
+@dataclass
+class DenovoMCMC:
+    """De novo assembly sampler; attributes as reference mcmc.py:24-100."""
+
+    ploidy: int
+    n_alleles: list
+    inbreeding: float = None
+    steps: int = 1000
+    chains: int = 2
+    alpha: float = 1.0
+    beta: float = 3.0
+    n_intervals: int = None
+    fix_homozygous: float = 0.999
+    recombination_step_probability: float = 0.5
+    partial_dosage_step_probability: float = 0.5
+    dosage_step_probability: float = 1.0
+    temperatures: tuple = (1.0,)
+    random_seed: int = None
+    llk_cache_threshold: int = 100  # accepted for API parity; no cache here
+
+    def fit(self, reads, read_counts=None, initial=None):
+        """Run ``chains`` batched MCMC chains; returns GenotypeMultiTrace.
+
+        Reference semantics: mcmc.py:103-265 (zero-read mock, homozygote
+        fixing, read-mean initialisation, all-fixed shortcut).
+        """
+        reads = np.asarray(reads, float)
+        n_reads, n_pos, max_allele = reads.shape
+        if n_reads == 0:
+            reads = np.full((1, n_pos, max_allele), np.nan)
+            n_reads = 1
+            read_counts = None
+        if read_counts is None:
+            read_counts = np.ones(n_reads)
+
+        n_alleles = np.array(self.n_alleles, dtype=np.int8)
+        use_prior = self.inbreeding is not None
+        inbreeding = float(self.inbreeding) if use_prior else 0.0
+
+        if n_pos == 0:
+            genotypes = np.zeros((self.chains, self.steps, self.ploidy, 0), np.int8)
+            llks = np.full((self.chains, self.steps), np.nan)
+            return GenotypeMultiTrace(genotypes, llks)
+
+        # homozygote fixing (mcmc.py:168-199)
+        hom_probs = _kernel.homozygosity_probabilities(
+            jnp.asarray(reads),
+            n_alleles,
+            self.ploidy,
+            use_prior=use_prior,
+            inbreeding=inbreeding,
+            read_counts=jnp.asarray(read_counts),
+        )
+        fixed = hom_probs >= self.fix_homozygous
+        homozygous = np.any(fixed, axis=-1)
+        fixed_allele = np.where(homozygous, np.argmax(fixed, axis=-1), 0)
+
+        if homozygous.all() and n_pos > 0:
+            # nothing to sample: tile the fixed haplotype
+            haplotype = fixed_allele.astype(np.int8)
+            genotypes = np.tile(haplotype, (self.chains, self.steps, self.ploidy, 1))
+            llks = np.full((self.chains, self.steps), np.nan)
+            return GenotypeMultiTrace(genotypes, llks)
+        if n_pos == 0:
+            genotypes = np.zeros((self.chains, self.steps, self.ploidy, 0), np.int8)
+            llks = np.full((self.chains, self.steps), np.nan)
+            return GenotypeMultiTrace(genotypes, llks)
+
+        # fixed positions keep their allele and become single-allele sites
+        n_alleles_eff = np.where(homozygous, 1, n_alleles).astype(np.int32)
+        n_het = int((~homozygous).sum())
+
+        # break-count distribution over het positions (mcmc.py:211-217);
+        # padded to n_base so empty tail intervals are no-ops
+        if self.n_intervals is None:
+            break_dist = np.zeros(n_pos)
+            break_dist[:n_het] = _point_beta_probabilities(n_het, self.alpha, self.beta)
+        else:
+            break_dist = np.zeros(n_pos)
+            break_dist[min(self.n_intervals - 1, n_pos - 1)] = 1.0
+
+        temperatures = np.sort(np.asarray(self.temperatures, float))
+        assert temperatures[0] >= 0.0
+        assert temperatures[-1] == 1.0
+
+        seed = self.random_seed if self.random_seed is not None else 0
+        key = jax.random.PRNGKey(seed)
+        kinit, krun = jax.random.split(key)
+
+        if initial is None:
+            # sample initial genotypes from the read-mean distribution,
+            # overwriting fixed positions with their fixed allele
+            dist = _read_mean_dist(reads)
+            cdf = np.cumsum(dist, axis=-1)
+            u = np.asarray(
+                jax.random.uniform(
+                    kinit, (self.chains, self.ploidy, n_pos, 1), dtype=jnp.float64
+                )
+            )
+            sampled = (u > cdf[None, None]).sum(axis=-1).astype(np.int32)
+            init = np.where(homozygous[None, None, :], fixed_allele[None, None, :], sampled)
+        else:
+            initial = np.asarray(initial)
+            if initial.ndim == 2:
+                initial = np.tile(initial, (self.chains, 1, 1))
+            init = np.where(
+                homozygous[None, None, :], fixed_allele[None, None, :], initial
+            ).astype(np.int32)
+
+        # fixed positions also overwrite the reads' disallowed alleles? no:
+        # log_reads stays full; fixed columns contribute a constant per read.
+        log_reads = prepare_reads(reads)
+
+        genotypes, llks = _kernel.denovo_sampler(
+            krun,
+            jnp.asarray(init, jnp.int32),
+            log_reads,
+            jnp.asarray(read_counts, jnp.float64),
+            jnp.asarray(n_alleles_eff),
+            jnp.asarray(break_dist),
+            jnp.asarray(temperatures),
+            n_steps=self.steps,
+            use_prior=use_prior,
+            inbreeding=inbreeding,
+            recombination_step_probability=self.recombination_step_probability,
+            partial_dosage_step_probability=self.partial_dosage_step_probability,
+            dosage_step_probability=self.dosage_step_probability,
+        )
+        return GenotypeMultiTrace(np.asarray(genotypes), np.asarray(llks))
+
+
+@dataclass
+class PosteriorGenotypeDistribution:
+    """Posterior over phased genotypes; reference classes.py:54-166."""
+
+    genotypes: np.ndarray  # [n_genotypes, ploidy, n_pos]
+    probabilities: np.ndarray
+
+    def mode(self):
+        idx = np.argmax(self.probabilities)
+        return self.genotypes[idx], self.probabilities[idx]
+
+    def mode_genotype_support(self):
+        """Genotypes sharing the mode's allele support (classes.py:87-128)."""
+        labels = np.zeros(len(self.genotypes), dtype=int)
+        support_labels = {}
+        probs = {}
+        for i, gen in enumerate(self.genotypes):
+            key = mset.unique(gen).tobytes()
+            if key not in support_labels:
+                support_labels[key] = i
+                probs[i] = self.probabilities[i]
+            else:
+                probs[support_labels[key]] += self.probabilities[i]
+            labels[i] = support_labels[key]
+        keys, vals = zip(*probs.items())
+        mode = keys[int(np.argmax(vals))]
+        idx = labels == mode
+        return GenotypeSupportDistribution(self.genotypes[idx], self.probabilities[idx])
+
+    def allele_frequencies(self, dosage=False):
+        """(haplotypes, frequencies, occurrence); classes.py:130-166."""
+        n_gen, ploidy, n_base = self.genotypes.shape
+        haps = self.genotypes.reshape(n_gen * ploidy, n_base)
+        uhaps = mset.unique(haps)
+        freqs = {h.tobytes(): 0.0 for h in uhaps}
+        occur = {h.tobytes(): 0.0 for h in uhaps}
+        for gen, prob in zip(self.genotypes, self.probabilities):
+            counts = Counter(hap.tobytes() for hap in gen)
+            for key, dose in counts.items():
+                freqs[key] += prob * dose
+                occur[key] += prob
+        ufreqs = np.array([freqs[h.tobytes()] for h in uhaps])
+        uoccur = np.array([occur[h.tobytes()] for h in uhaps])
+        if dosage is False:
+            ufreqs = ufreqs / ploidy
+        return uhaps, ufreqs, uoccur
+
+
+@dataclass
+class GenotypeSupportDistribution:
+    """Dosage-alternatives of one allele support; classes.py:169-244."""
+
+    genotypes: np.ndarray
+    probabilities: np.ndarray
+
+    def alleles(self):
+        return mset.unique(self.genotypes[0])
+
+    def mode_genotype(self):
+        idx = np.argmax(self.probabilities)
+        return self.genotypes[idx], self.probabilities[idx]
+
+    def call_genotype_support(self, threshold=0.95):
+        """Most complete allele set exceeding ``threshold``; pads with
+        null alleles when needed (classes.py:207-244)."""
+        if np.max(self.probabilities) >= threshold:
+            idx = np.argmax(self.probabilities)
+            return self.genotypes[idx], self.probabilities[idx]
+        _, ploidy, n_pos = self.genotypes.shape
+        result = np.full((ploidy, n_pos), -1, dtype=self.genotypes.dtype)
+        selected = []
+        p = 0.0
+        genotypes = list(self.genotypes)
+        probabilities = list(self.probabilities)
+        while p < threshold:
+            if len(probabilities) == 0:
+                break
+            idx = int(np.argmax(probabilities))
+            p += probabilities.pop(idx)
+            selected.append(genotypes.pop(idx))
+        alleles = reduce(mset.intercept, selected)
+        for i, hap in enumerate(alleles):
+            result[i] = hap
+        return result, p
+
+
+@dataclass
+class GenotypeMultiTrace:
+    """Multi-chain trace of phased genotypes; classes.py:247-376."""
+
+    genotypes: np.ndarray  # [n_chains, n_steps, ploidy, n_pos]
+    llks: np.ndarray
+
+    def __post_init__(self):
+        if (self.genotypes is not None) and (self.genotypes.shape[-1] != 0):
+            g = np.array(self.genotypes)
+            assert g.ndim == 4
+            n_chains, n_steps, ploidy, n_pos = g.shape
+            # canonical per-step ordering: lexicographic row sort, fully
+            # vectorized (replaces the reference's per-step python loop)
+            flat = g.reshape(n_chains * n_steps, ploidy, n_pos)
+            keys = flat.transpose(2, 0, 1)[::-1]  # [n_pos, N, ploidy]
+            order = np.lexsort(tuple(keys))  # [N, ploidy]
+            flat = np.take_along_axis(flat, order[..., None], axis=1)
+            self.genotypes = flat.reshape(g.shape)
+            self.llks = np.array(self.llks)
+
+    def burn(self, n):
+        new = type(self)(None, None)
+        new.genotypes = self.genotypes[:, n:]
+        new.llks = self.llks[:, n:]
+        return new
+
+    def posterior(self):
+        n_chain, n_step, ploidy, n_base = self.genotypes.shape
+        if n_base == 0:
+            return PosteriorGenotypeDistribution(
+                np.zeros((1, ploidy, 0), self.genotypes.dtype), np.ones(1)
+            )
+        genotypes = self.genotypes.reshape(n_chain * n_step, ploidy * n_base)
+        states, counts = mset.unique_counts(genotypes)
+        probs = counts / counts.sum()
+        idx = np.flip(np.argsort(probs, kind="stable"))
+        return PosteriorGenotypeDistribution(
+            states[idx].reshape(len(states), ploidy, n_base), probs[idx]
+        )
+
+    def split(self):
+        for genotypes, llks in zip(self.genotypes, self.llks):
+            new = type(self)(None, None)
+            new.genotypes = genotypes[None]
+            new.llks = llks[None]
+            yield new
+
+    def replicate_incongruence(self, threshold=0.6):
+        """0/1/2 = none / incongruent / putative CNV; classes.py:341-376."""
+        out = 0
+        posteriors = [trace.posterior() for trace in self.split()]
+        chain_modes = [dist.mode_genotype_support() for dist in posteriors]
+        alleles = [
+            mode.alleles()
+            for mode in chain_modes
+            if mode.probabilities.sum() >= threshold
+        ]
+        mode_count = len({array.tobytes() for array in alleles})
+        if mode_count > 1:
+            out = 1
+            ploidy = len(alleles[0])
+            allele_count = len(reduce(mset.union, alleles))
+            if allele_count > ploidy:
+                out = 2
+        return out
+
+
+def call_posterior_haplotypes(posteriors, threshold=0.01):
+    """Population-level allele pooling; reference haplotype_calling.py:4-64.
+
+    Returns (haplotypes [n, n_base] VCF-sorted with ref first, ref_observed).
+    """
+    haplotype_arrays = {}
+    haplotype_values = {}
+    for post in posteriors:
+        haps, weights, probs = post.allele_frequencies(dosage=True)
+        idx = probs >= threshold
+        haps = haps[idx]
+        weights = weights[idx]
+        for h, w in zip(haps, weights):
+            b = h.tobytes()
+            if b not in haplotype_arrays:
+                haplotype_arrays[b] = h
+                haplotype_values[b] = 0
+            haplotype_values[b] += w
+    refbytes = None
+    for b, h in haplotype_arrays.items():
+        if np.all(h == 0):
+            refbytes = b
+    if refbytes is not None:
+        haplotype_arrays.pop(refbytes)
+        haplotype_values.pop(refbytes)
+        ref_observed = True
+    else:
+        ref_observed = False
+    n_alleles = len(haplotype_arrays) + 1
+    n_base = posteriors[0].genotypes.shape[-1]
+    haplotypes = np.full((n_alleles, n_base), -1, np.int8)
+    values = np.full(n_alleles, -1, float)
+    for i, (b, h) in enumerate(haplotype_arrays.items()):
+        haplotypes[i] = h
+        values[i] = haplotype_values[b]
+    haplotypes[-1][:] = 0
+    values[-1] = values.max() + 1
+    order = np.flip(np.argsort(values, kind="stable"))
+    return haplotypes[order], ref_observed
