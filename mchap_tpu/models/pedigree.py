@@ -1,0 +1,182 @@
+"""PedigreeCallingMCMC: joint pedigree-informed genotype calling.
+
+API parity with reference ``mchap/pedigree/classes.py``; the sampler is
+the batched device program of ops/pedigree_mcmc.py (chains vmapped,
+samples sequential under the Markov-blanket coupling).
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mchap_tpu.models.calling import GenotypeAllelesMultiTrace
+from mchap_tpu.ops import calling_mcmc as _calling_kernel
+from mchap_tpu.ops import pedigree_mcmc as _kernel
+from mchap_tpu.ops.likelihood import prepare_reads, read_hap_loglik
+
+
+@dataclass
+class PedigreeCallingMCMC:
+    """Joint MCMC over all samples in a pedigree.
+
+    Attributes mirror reference pedigree/classes.py:14-28.
+    """
+
+    sample_ploidy: np.ndarray
+    sample_parents: np.ndarray
+    gamete_tau: np.ndarray
+    gamete_lambda: np.ndarray
+    gamete_error: np.ndarray
+    haplotypes: np.ndarray
+    frequencies: np.ndarray = None
+    steps: int = 2000
+    annealing: int = 1000  # accepted for API parity; the reference
+    # computes but never applies the annealing weights (mcmc.py:738-740)
+    chains: int = 2
+    random_seed: int = None
+    step_type: str = "Gibbs"
+    swap_parental_alleles: bool = True
+
+    def fit(self, sample_reads, sample_read_counts, initial=None):
+        """Run ``chains`` batched joint chains; returns a pedigree trace.
+
+        sample_reads: float[n_samples, max_reads, n_pos, max_nucl]
+        (padded with nan reads); sample_read_counts: int[n_samples,
+        max_reads] (0 marks padding — zero-count reads weigh nothing).
+        """
+        sample_ploidy = np.asarray(self.sample_ploidy)
+        sample_parents = np.asarray(self.sample_parents)
+        n_samples = len(sample_ploidy)
+        max_ploidy = int(sample_ploidy.max())
+        haplotypes = np.asarray(self.haplotypes)
+        n_haps = len(haplotypes)
+
+        if self.frequencies is None:
+            log_freqs = np.log(np.full(n_haps, 1 / n_haps))
+        else:
+            with np.errstate(divide="ignore"):
+                log_freqs = np.log(np.asarray(self.frequencies, float))
+            assert len(log_freqs) == n_haps
+
+        # one read-hap matrix for the whole pedigree (single MXU matmul)
+        log_reads = prepare_reads(np.asarray(sample_reads, float))
+        rh_all = read_hap_loglik(log_reads, jnp.asarray(haplotypes))  # [S, R, H]
+        counts_all = jnp.asarray(sample_read_counts, jnp.float64)
+
+        seed = self.random_seed if self.random_seed is not None else 0
+        key = jax.random.PRNGKey(seed)
+
+        if initial is None:
+            initial = np.full((n_samples, max_ploidy), -1, np.int32)
+            for i in range(n_samples):
+                ploidy = int(sample_ploidy[i])
+                genotype = np.asarray(
+                    _calling_kernel.greedy_caller(
+                        rh_all[i], counts_all[i], ploidy=ploidy
+                    )
+                )
+                initial[i, :ploidy] = genotype
+        else:
+            initial = np.asarray(initial, np.int32)
+
+        sample_children = _kernel.sample_children_matrix(sample_parents)
+        parental_pairs, pair_blankets = _kernel.parental_pair_markov_blankets(
+            sample_parents, sample_children
+        )
+
+        sampler, _ = _kernel.make_pedigree_kernels(
+            max_ploidy,
+            n_samples,
+            sample_children.shape[1],
+            len(parental_pairs),
+        )
+        trace = sampler(
+            key,
+            jnp.broadcast_to(
+                jnp.asarray(initial), (self.chains, n_samples, max_ploidy)
+            ),
+            rh_all,
+            counts_all,
+            jnp.asarray(sample_ploidy),
+            jnp.asarray(sample_parents),
+            jnp.asarray(sample_children),
+            jnp.asarray(self.gamete_tau),
+            jnp.asarray(self.gamete_lambda, jnp.float64),
+            jnp.asarray(self.gamete_error, jnp.float64),
+            jnp.asarray(log_freqs),
+            jnp.asarray(parental_pairs),
+            jnp.asarray(pair_blankets),
+            n_steps=self.steps,
+            swap_parental_alleles=self.swap_parental_alleles and len(parental_pairs) > 0,
+        )
+        trace = np.asarray(trace, np.int16)  # [chains, steps, S, maxp]
+
+        # sort each genotype, rolling padding to the end (mcmc.py:807-813)
+        trace = np.sort(trace, axis=-1)
+        for j in range(n_samples):
+            ploidy = int(sample_ploidy[j])
+            if ploidy < max_ploidy:
+                trace[:, :, j, :] = np.roll(
+                    trace[:, :, j, :], ploidy - max_ploidy, axis=-1
+                )
+        return PedigreeAllelesMultiTrace(trace, n_allele=n_haps)
+
+
+@dataclass
+class PedigreeAllelesMultiTrace:
+    """Joint trace over all pedigree samples; reference classes.py:137-161."""
+
+    genotypes: np.ndarray  # [chains, steps, n_samples, max_ploidy]
+    n_allele: int
+
+    def burn(self, n):
+        return type(self)(self.genotypes[:, n:], n_allele=self.n_allele)
+
+    def individual(self, index):
+        """Per-sample GenotypeAllelesMultiTrace (padding stripped)."""
+        sample_trace = self.genotypes[:, :, index, :]
+        ploidy = int((sample_trace[0, 0] >= 0).sum())
+        return GenotypeAllelesMultiTrace(
+            sample_trace[:, :, 0:ploidy],
+            np.full(self.genotypes.shape[0:2], np.nan),
+            self.n_allele,
+        )
+
+    def incongruence(self, sample_ploidy, sample_parents, gamete_tau, gamete_lambda):
+        """Per-sample rate of pedigree-incompatible states (PEDERR).
+
+        Vectorized equivalent of reference ``_trace_incongruence``
+        (classes.py:91-134).
+        """
+        trace = self.genotypes
+        n_chains, n_steps, n_samples, max_ploidy = trace.shape
+        trace = trace.reshape(n_chains * n_steps, n_samples, max_ploidy)
+        sample_parents = np.asarray(sample_parents)
+        out = np.zeros(n_samples)
+        for i in range(n_samples):
+            p, q = sample_parents[i]
+            progeny = trace[:, i, :]
+            if p < 0 and q < 0:
+                continue
+            if p < 0:
+                valid = _kernel.duo_valid(
+                    progeny, trace[:, q, :], gamete_tau[i, 1], gamete_lambda[i, 1]
+                )
+            elif q < 0:
+                valid = _kernel.duo_valid(
+                    progeny, trace[:, p, :], gamete_tau[i, 0], gamete_lambda[i, 0]
+                )
+            else:
+                valid = _kernel.trio_valid(
+                    progeny,
+                    trace[:, p, :],
+                    trace[:, q, :],
+                    gamete_tau[i, 0],
+                    gamete_tau[i, 1],
+                    gamete_lambda[i, 0],
+                    gamete_lambda[i, 1],
+                )
+            out[i] = 1.0 - valid.mean()
+        return out

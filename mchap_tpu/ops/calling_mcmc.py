@@ -78,7 +78,7 @@ def _gibbs_slot(key, genotype, slot, read_hap, read_counts, log_ploidy,
     lpriors = _option_priors(
         genotype, slot, n_alleles, prior_kind, inbreeding, frequencies
     )
-    logits = llks + lpriors
+    logits = llks + lpriors.astype(llks.dtype)
     choice = jax.random.categorical(key, logits)
     return genotype.at[slot].set(choice.astype(genotype.dtype)), llks[choice]
 
@@ -91,11 +91,11 @@ def _mh_slot(key, genotype, slot, read_hap, read_counts, log_ploidy,
     llks = _option_llks(read_hap, read_counts, genotype, slot, log_ploidy)
     options = _option_genotypes(genotype, slot, n_alleles)
     if prior_kind == 0:
-        lpriors = jnp.zeros(n_alleles)
+        lpriors = jnp.zeros(n_alleles, llks.dtype)
     else:
         lpriors = log_genotype_prior(
             options, n_alleles, inbreeding=inbreeding, frequencies=frequencies
-        )
+        ).astype(llks.dtype)
     current = genotype[slot]
     llk = llks[current]
     lprior = lpriors[current]
@@ -108,8 +108,8 @@ def _mh_slot(key, genotype, slot, read_hap, read_counts, log_ploidy,
     )  # [H] copies among constant slots
     copies_proposed = counts_other + 1
     copies_current = counts_other[current] + 1
-    lproposal = jnp.log(copies_proposed.astype(jnp.float64)) - jnp.log(
-        jnp.asarray(copies_current, jnp.float64)
+    lproposal = jnp.log(copies_proposed.astype(llks.dtype)) - jnp.log(
+        copies_current.astype(llks.dtype)
     )
     mh_ratio = (llks - llk) + (lpriors - lprior) + lproposal
     accept = jnp.exp(jnp.minimum(0.0, mh_ratio))

@@ -1,0 +1,533 @@
+"""Batched pedigree-informed MCMC (trio transition model + joint Gibbs).
+
+TPU-first re-design of ``mchap/pedigree/`` (prior.py, mcmc.py): the
+reference's irregular gamete-dosage iterator (``increment_dosage``,
+prior.py:230-294) becomes a fixed-size masked enumeration over static
+composition tables (all dosage vectors of a given gamete ploidy), so
+the trio pmf is a handful of masked gathers + a logsumexp.  Chains are
+the batch axis (vmap); samples/slots/pairs are sequential lax.scans
+(cross-sample coupling through the Markov blanket forbids a sample
+batch axis — SURVEY.md §3.4).
+
+Genotypes are fixed-width int arrays [n_samples, max_ploidy] padded
+with -1 for lower-ploidy samples, exactly as the reference.
+"""
+
+import functools
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG = -1e300
+
+# binomial lookup (n, k up to 16) — exact in float64 for these sizes
+import math as _math
+
+_COMB_LUT = np.zeros((17, 17))
+for _n in range(17):
+    for _k in range(17):
+        _COMB_LUT[_n, _k] = float(_math.comb(_n, _k)) if _k <= _n else 0.0
+
+
+def composition_tables(max_ploidy):
+    """Static tables of all dosage vectors with a given sum.
+
+    Returns (tables f[max_ploidy+1, K_max, max_ploidy],
+             valid  b[max_ploidy+1, K_max])
+    where tables[tau] enumerates all vectors of non-negative ints over
+    max_ploidy slots summing to tau (the reference's increment_dosage
+    walk, prior.py:230-294, made into one masked batch).
+    """
+    all_tables = []
+    for tau in range(max_ploidy + 1):
+        rows = [
+            c
+            for c in itertools.product(range(tau + 1), repeat=max_ploidy)
+            if sum(c) == tau
+        ]
+        all_tables.append(np.array(rows, dtype=np.int32).reshape(-1, max_ploidy))
+    k_max = max(len(t) for t in all_tables)
+    tables = np.zeros((max_ploidy + 1, k_max, max_ploidy), np.int32)
+    valid = np.zeros((max_ploidy + 1, k_max), bool)
+    for tau, t in enumerate(all_tables):
+        tables[tau, : len(t)] = t
+        valid[tau, : len(t)] = True
+    return tables, valid
+
+
+# ---------------------------------------------------------------------------
+# dosage helpers on padded genotype rows (reference prior.py:7-92)
+# ---------------------------------------------------------------------------
+
+
+def padded_dosage(genotype):
+    """Allelic dosage credited to first occurrence; padding (<0) -> 0."""
+    maxp = genotype.shape[-1]
+    called = genotype >= 0
+    eq = (genotype[..., :, None] == genotype[..., None, :]) & called[..., None, :] & called[..., :, None]
+    tri = jnp.tril(jnp.ones((maxp, maxp), bool), k=-1)
+    first = ~jnp.any(eq & tri, axis=-1) & called
+    counts = jnp.sum(eq, axis=-1)
+    return jnp.where(first, counts, 0)
+
+
+def parental_copies(parent, progeny):
+    """Count of each progeny allele within the parent, credited to the
+    first progeny slot holding that allele (prior.py:38-70)."""
+    maxp = progeny.shape[-1]
+    called = progeny >= 0
+    match = (parent[..., None, :] == progeny[..., :, None]) & (parent[..., None, :] >= 0)
+    counts = jnp.sum(match, axis=-1)  # [maxp] per progeny slot
+    # credit only first occurrence of each allele
+    eq = (progeny[..., :, None] == progeny[..., None, :]) & called[..., None, :]
+    tri = jnp.tril(jnp.ones((maxp, maxp), bool), k=-1)
+    first = ~jnp.any(eq & tri, axis=-1) & called
+    return jnp.where(first, counts, 0)
+
+
+def _ln_perms(dosage):
+    d = dosage.astype(jnp.float64)
+    return jax.lax.lgamma(jnp.sum(d, -1) + 1.0) - jnp.sum(jax.lax.lgamma(d + 1.0), -1)
+
+
+def _log_unknown_dosage_prior(dosage, dlf):
+    """Multinomial prior of a dosage of unknown origin (prior.py:121-144)."""
+    d = dosage.astype(jnp.float64)
+    return _ln_perms(dosage) + jnp.sum(jnp.where(dosage > 0, d * dlf, 0.0), -1)
+
+
+def _gamete_log_pmf(gametes, tau, parent_dose, parent_ploidy, lam, comb_lut):
+    """log pmf of gamete dosages drawn from a parent dosage.
+
+    gametes: i[K, maxp]; tau/parent_ploidy: traced ints; lam: traced float.
+    Reference prior.py:329-373 (incl. double-reduction mixture).
+    """
+    perms = jnp.prod(comb_lut[parent_dose[None, :], gametes], axis=-1)  # [K]
+    denom = jnp.maximum(comb_lut[parent_ploidy, tau], 1.0)
+    prob = (perms / denom) * (1.0 - lam)
+    # double reduction: gamete = 2 copies of one allele (tau == 2 only)
+    is_dr = (jnp.max(gametes, -1) == 2) & (jnp.sum(gametes, -1) == 2)
+    dr_allele = jnp.argmax(gametes, -1)
+    dr_perms = jnp.where(is_dr, parent_dose[dr_allele], 0).astype(jnp.float64)
+    prob = prob + jnp.where(
+        lam > 0.0, (dr_perms / jnp.maximum(parent_ploidy, 1)) * lam, 0.0
+    )
+    return jnp.where(prob > 0.0, jnp.log(jnp.maximum(prob, 1e-300)), _NEG)
+
+
+def trio_log_pmf(
+    progeny,
+    parent_p,
+    parent_q,
+    ploidy_p,
+    ploidy_q,
+    tau_p,
+    tau_q,
+    lam_p,
+    lam_q,
+    err_p,
+    err_q,
+    log_freqs,
+    tables,
+    tables_valid,
+    comb_lut,
+):
+    """Log probability of a progeny genotype given two parents.
+
+    Fixed-shape equivalent of reference ``trio_log_pmf``
+    (prior.py:484-722): four-way error mixture — both parents correct
+    (A), only p correct (B), only q correct (C), neither (D) — with
+    gamete splits enumerated over the static composition tables.
+    All of ploidy/tau/lambda/error may be traced.
+    """
+    maxp = progeny.shape[-1]
+    dosage = padded_dosage(progeny)
+    dlf = jnp.where(
+        progeny >= 0, log_freqs[jnp.clip(progeny, 0, None)], 0.0
+    )
+    dosage_p = jnp.where(ploidy_p > 0, parental_copies(parent_p, progeny), 0)
+    dosage_q = jnp.where(ploidy_q > 0, parental_copies(parent_q, progeny), 0)
+    constraint_p = jnp.minimum(dosage, dosage_p)
+    constraint_q = jnp.minimum(dosage, dosage_q)
+    # double-reduction constraint adjustment (prior.py:583-600)
+    constraint_p = jnp.where(
+        (lam_p > 0.0) & (dosage >= 2) & (constraint_p == 1), 2, constraint_p
+    )
+    constraint_q = jnp.where(
+        (lam_q > 0.0) & (dosage >= 2) & (constraint_q == 1), 2, constraint_q
+    )
+
+    # clone edges (tau == 0) force the error branch (prior.py:556-557)
+    err_p = jnp.where(tau_p == 0, 1.0, err_p)
+    err_q = jnp.where(tau_q == 0, 1.0, err_q)
+    lerr_p = jnp.log(jnp.maximum(err_p, 1e-300))
+    lerr_q = jnp.log(jnp.maximum(err_q, 1e-300))
+    lcor_p = jnp.where(err_p < 1.0, jnp.log(jnp.maximum(1.0 - err_p, 1e-300)), _NEG)
+    lcor_q = jnp.where(err_q < 1.0, jnp.log(jnp.maximum(1.0 - err_q, 1e-300)), _NEG)
+
+    valid_p = (jnp.sum(constraint_p, -1) >= tau_p) & (tau_p > 0) & (err_p < 1.0)
+    valid_q = (jnp.sum(constraint_q, -1) >= tau_q) & (tau_q > 0) & (err_q < 1.0)
+
+    # enumeration from parent p's side: gametes_p summing to tau_p
+    gp = tables[tau_p]  # [K, maxp]
+    gp_ok = tables_valid[tau_p] & jnp.all(gp <= constraint_p[None, :], axis=-1)
+    gq_of_p = dosage[None, :] - gp  # complementary gamete
+    lpmf_p = _gamete_log_pmf(gp, tau_p, dosage_p, ploidy_p, lam_p, comb_lut)
+    lpmf_q_of_p = _gamete_log_pmf(gq_of_p, tau_q, dosage_q, ploidy_q, lam_q, comb_lut)
+    unknown_q = jax.vmap(lambda g: _log_unknown_dosage_prior(g, dlf))(gq_of_p)
+    # term A: both parents correct
+    a_terms = jnp.where(
+        gp_ok & valid_p & valid_q, lpmf_p + lcor_p + lpmf_q_of_p + lcor_q, _NEG
+    )
+    # term B: p correct, q in error
+    b_terms = jnp.where(gp_ok & valid_p, lpmf_p + lcor_p + unknown_q + lerr_q, _NEG)
+
+    # enumeration from parent q's side: gametes_q summing to tau_q
+    gq = tables[tau_q]
+    gq_ok = tables_valid[tau_q] & jnp.all(gq <= constraint_q[None, :], axis=-1)
+    gp_of_q = dosage[None, :] - gq
+    lpmf_q = _gamete_log_pmf(gq, tau_q, dosage_q, ploidy_q, lam_q, comb_lut)
+    unknown_p = jax.vmap(lambda g: _log_unknown_dosage_prior(g, dlf))(gp_of_q)
+    # term C: q correct, p in error
+    c_terms = jnp.where(gq_ok & valid_q, lpmf_q + lcor_q + unknown_p + lerr_p, _NEG)
+
+    # term D: both parents in error
+    d_term = _log_unknown_dosage_prior(dosage, dlf) + lerr_p + lerr_q
+
+    stacked = jnp.concatenate([a_terms, b_terms, c_terms, d_term[None]])
+    return jax.scipy.special.logsumexp(stacked)
+
+
+def make_pedigree_kernels(max_ploidy, n_samples, max_children, n_pairs):
+    """Build the trio/blanket/sampler functions for static pedigree shapes."""
+    tables_np, valid_np = composition_tables(max_ploidy)
+    tables = jnp.asarray(tables_np)
+    tables_valid = jnp.asarray(valid_np)
+    comb_lut = jnp.asarray(_COMB_LUT)
+
+    def trio_for_sample(i, genotypes, ped):
+        """Trio pmf of sample i given the full genotype matrix."""
+        (sample_ploidy, sample_parents, sample_children,
+         gamete_tau, gamete_lambda, gamete_error, log_freqs) = ped
+        p = sample_parents[i, 0]
+        q = sample_parents[i, 1]
+        has_p = p >= 0
+        has_q = q >= 0
+        p_safe = jnp.maximum(p, 0)
+        q_safe = jnp.maximum(q, 0)
+        return trio_log_pmf(
+            genotypes[i],
+            jnp.where(has_p, genotypes[p_safe], -1),
+            jnp.where(has_q, genotypes[q_safe], -1),
+            jnp.where(has_p, sample_ploidy[p_safe], 0),
+            jnp.where(has_q, sample_ploidy[q_safe], 0),
+            gamete_tau[i, 0],
+            gamete_tau[i, 1],
+            gamete_lambda[i, 0],
+            gamete_lambda[i, 1],
+            jnp.where(has_p, gamete_error[i, 0], 1.0),
+            jnp.where(has_q, gamete_error[i, 1], 1.0),
+            log_freqs,
+            tables,
+            tables_valid,
+            comb_lut,
+        )
+
+    def blanket_log_probability(s, genotypes, ped):
+        """Self trio + children trios (reference prior.py:725-840)."""
+        sample_children = ped[2]
+        total = trio_for_sample(s, genotypes, ped)
+        for c_idx in range(max_children):
+            child = sample_children[s, c_idx]
+            contrib = trio_for_sample(jnp.maximum(child, 0), genotypes, ped)
+            total = total + jnp.where(child >= 0, contrib, 0.0)
+        return total
+
+    def generic_blanket_log_probability(blanket, genotypes, ped):
+        """Joint over an explicit padded blanket (prior.py:845-953)."""
+        total = 0.0
+        for idx in range(blanket.shape[0]):
+            i = blanket[idx]
+            contrib = trio_for_sample(jnp.maximum(i, 0), genotypes, ped)
+            total = total + jnp.where(i >= 0, contrib, 0.0)
+        return total
+
+    def sample_llk(rh, counts, genotype, ploidy):
+        """llk of one padded genotype from its read-hap matrix."""
+        maxp = genotype.shape[-1]
+        sub = rh[:, jnp.clip(genotype, 0, None)]  # [R, maxp]
+        mask = (jnp.arange(maxp) < ploidy)[None, :]
+        read_log = jax.scipy.special.logsumexp(
+            jnp.where(mask, sub, _NEG), axis=-1
+        ) - jnp.log(ploidy.astype(jnp.float64))
+        return counts @ read_log
+
+    def gibbs_slot(key, s, k, genotypes, rh_all, counts_all, ped):
+        """Gibbs update of slot k of sample s over all panel alleles.
+
+        llk via the rank-1 logaddexp trick over the precomputed read-hap
+        matrix; prior via the Markov blanket per candidate; multiplicity
+        term corrects slot-wise sampling of the multiset state (same
+        Jacobian as the calling sampler's flat allele prior).
+        """
+        (sample_ploidy, *_rest) = ped
+        n_alleles = rh_all.shape[-1]
+        maxp = genotypes.shape[-1]
+        ploidy = sample_ploidy[s]
+        g = genotypes[s]
+        cur = g[k]
+        rh = rh_all[s]
+        counts = counts_all[s]
+        # llk of each candidate
+        keep = (jnp.arange(maxp) != k) & (jnp.arange(maxp) < ploidy)
+        sub = rh[:, jnp.clip(g, 0, None)]
+        rest = jax.scipy.special.logsumexp(
+            jnp.where(keep[None, :], sub, _NEG), axis=-1
+        )
+        cand = jnp.logaddexp(rest[:, None], rh)  # [R, H]
+        llks = counts @ (cand - jnp.log(ploidy.astype(jnp.float64)))  # [H]
+        # blanket prior of each candidate
+        options = jnp.broadcast_to(g, (n_alleles, maxp)).at[:, k].set(
+            jnp.arange(n_alleles, dtype=g.dtype)
+        )
+
+        def blanket_for(g_s):
+            return blanket_log_probability(s, genotypes.at[s].set(g_s), ped)
+
+        lpriors = jax.vmap(blanket_for)(options)  # [H]
+        # multiplicity of each candidate among the other slots + itself
+        counts_other = jnp.sum(
+            keep[None, :] & (g[None, :] == jnp.arange(n_alleles)[:, None]), axis=-1
+        )
+        lmult = jnp.log(counts_other.astype(jnp.float64) + 1.0)
+        logits = llks + lpriors + lmult
+        choice = jax.random.categorical(key, logits).astype(g.dtype)
+        new_allele = jnp.where(k < ploidy, choice, cur)
+        return genotypes.at[s, k].set(new_allele)
+
+    def pair_swap(key, pair, blanket, genotypes, rh_all, counts_all, ped):
+        """MH allele swap between a parental pair (mcmc.py:503-655)."""
+        (sample_ploidy, *_rest) = ped
+        p, q = pair[0], pair[1]
+        kp, kq, ka = jax.random.split(key, 3)
+        ploidy_p = sample_ploidy[p]
+        ploidy_q = sample_ploidy[q]
+        idx_p = jax.random.randint(kp, (), 0, ploidy_p)
+        idx_q = jax.random.randint(kq, (), 0, ploidy_q)
+        allele_p = genotypes[p, idx_p]
+        allele_q = genotypes[q, idx_q]
+        proposes = allele_p != allele_q
+
+        def count_allele(row, a, ploidy):
+            maxp = row.shape[-1]
+            return jnp.sum((row == a) & (jnp.arange(maxp) < ploidy))
+
+        proposal = count_allele(genotypes[p], allele_p, ploidy_p) * count_allele(
+            genotypes[q], allele_q, ploidy_q
+        )
+        reversal = (1 + count_allele(genotypes[p], allele_q, ploidy_p)) * (
+            1 + count_allele(genotypes[q], allele_p, ploidy_q)
+        )
+        lproposal = jnp.log(reversal.astype(jnp.float64)) - jnp.log(
+            jnp.maximum(proposal, 1).astype(jnp.float64)
+        )
+        llk_current = sample_llk(
+            rh_all[p], counts_all[p], genotypes[p], ploidy_p
+        ) + sample_llk(rh_all[q], counts_all[q], genotypes[q], ploidy_q)
+        lprior_current = generic_blanket_log_probability(blanket, genotypes, ped)
+        proposed = genotypes.at[p, idx_p].set(allele_q).at[q, idx_q].set(allele_p)
+        llk_proposed = sample_llk(
+            rh_all[p], counts_all[p], proposed[p], ploidy_p
+        ) + sample_llk(rh_all[q], counts_all[q], proposed[q], ploidy_q)
+        lprior_proposed = generic_blanket_log_probability(blanket, proposed, ped)
+        log_accept = jnp.minimum(
+            0.0,
+            (llk_proposed - llk_current)
+            + (lprior_proposed - lprior_current)
+            + lproposal,
+        )
+        u = jax.random.uniform(ka, dtype=jnp.float64)
+        accept = proposes & (u < jnp.exp(log_accept))
+        return jnp.where(accept, proposed, genotypes)
+
+    @functools.partial(jax.jit, static_argnames=("n_steps", "swap_parental_alleles"))
+    def sampler(
+        key,
+        initial,  # [n_chains, S, maxp]
+        rh_all,  # [S, R, H]
+        counts_all,  # [S, R]
+        sample_ploidy,
+        sample_parents,
+        sample_children,
+        gamete_tau,
+        gamete_lambda,
+        gamete_error,
+        log_freqs,
+        parental_pairs,  # [n_pairs, 2]
+        pair_blankets,  # [n_pairs, max_blanket]
+        *,
+        n_steps,
+        swap_parental_alleles=True,
+    ):
+        ped = (
+            sample_ploidy, sample_parents, sample_children,
+            gamete_tau, gamete_lambda, gamete_error, log_freqs,
+        )
+
+        def chain(key, genotypes0):
+            def step(genotypes, step_key):
+                korder, kslots, kswaps = jax.random.split(step_key, 3)
+                order = jax.random.permutation(korder, n_samples)
+                slot_keys = jax.random.split(kslots, n_samples * (max_ploidy + 1))
+
+                def sample_body(genotypes, xs):
+                    s, skeys = xs
+                    perm_key, slot_k = skeys[0], skeys[1:]
+                    slot_order = jax.random.permutation(perm_key, max_ploidy)
+
+                    def slot_body(genotypes, slot_xs):
+                        k, kkey = slot_xs
+                        return (
+                            gibbs_slot(kkey, s, k, genotypes, rh_all, counts_all, ped),
+                            None,
+                        )
+
+                    genotypes, _ = jax.lax.scan(
+                        slot_body, genotypes, (slot_order, slot_k)
+                    )
+                    return genotypes, None
+
+                genotypes, _ = jax.lax.scan(
+                    sample_body,
+                    genotypes,
+                    (order, slot_keys.reshape(n_samples, max_ploidy + 1, 2)),
+                )
+                if swap_parental_alleles and n_pairs > 0:
+                    pair_keys = jax.random.split(kswaps, n_pairs)
+
+                    def pair_body(genotypes, xs):
+                        pair, blanket, pkey = xs
+                        return (
+                            pair_swap(
+                                pkey, pair, blanket, genotypes, rh_all, counts_all, ped
+                            ),
+                            None,
+                        )
+
+                    genotypes, _ = jax.lax.scan(
+                        pair_body, genotypes, (parental_pairs, pair_blankets, pair_keys)
+                    )
+                return genotypes, genotypes
+
+            _, trace = jax.lax.scan(step, genotypes0, jax.random.split(key, n_steps))
+            return trace  # [n_steps, S, maxp]
+
+        keys = jax.random.split(key, initial.shape[0])
+        return jax.vmap(chain)(keys, initial)
+
+    return sampler, trio_log_pmf
+
+
+def sample_children_matrix(sample_parents):
+    """Children of each sample, padded with -1 (mcmc.py:415-457)."""
+    sample_parents = np.asarray(sample_parents)
+    n_samples = len(sample_parents)
+    children = [[] for _ in range(n_samples)]
+    for i in range(n_samples):
+        seen = set()
+        for j in range(2):
+            p = sample_parents[i, j]
+            if p >= 0 and p not in seen:
+                children[p].append(i)
+                seen.add(p)
+    max_children = max((len(c) for c in children), default=0)
+    max_children = max(max_children, 1)
+    out = np.full((n_samples, max_children), -1, np.int32)
+    for i, c in enumerate(children):
+        out[i, : len(c)] = c
+    return out
+
+
+def parental_pair_markov_blankets(sample_parents, sample_children):
+    """Unique parental pairs + their padded blankets (mcmc.py:460-500)."""
+    sample_parents = np.asarray(sample_parents)
+    sample_children = np.asarray(sample_children)
+    n_samples = len(sample_parents)
+    pairs = {}
+    for i in range(n_samples):
+        p, q = sample_parents[i]
+        if p > q:
+            p, q = q, p
+        if p < 0 or q < 0 or (p, q) in pairs:
+            continue
+        in_blanket = np.zeros(n_samples, bool)
+        in_blanket[[p, q]] = True
+        for c in sample_children[p]:
+            if c >= 0:
+                in_blanket[c] = True
+        for c in sample_children[q]:
+            if c >= 0:
+                in_blanket[c] = True
+        pairs[(p, q)] = np.where(in_blanket)[0]
+    if not pairs:
+        return np.zeros((0, 2), np.int32), np.zeros((0, 1), np.int32)
+    max_size = max(len(b) for b in pairs.values())
+    parental_pairs = np.zeros((len(pairs), 2), np.int32)
+    blankets = np.full((len(pairs), max_size), -1, np.int32)
+    for i, ((p, q), blanket) in enumerate(pairs.items()):
+        parental_pairs[i] = (p, q)
+        blankets[i, : len(blanket)] = blanket
+    return parental_pairs, blankets
+
+
+# ---------------------------------------------------------------------------
+# host-side validation (reference pedigree/validation.py) — vectorized
+# ---------------------------------------------------------------------------
+
+
+def _np_dosage_and_copies(progeny, parent):
+    """(dosage, parental_copies) for batches of padded genotype rows."""
+    called = progeny >= 0
+    eq = (progeny[..., :, None] == progeny[..., None, :]) & called[..., None, :] & called[..., :, None]
+    maxp = progeny.shape[-1]
+    tri = np.tril(np.ones((maxp, maxp), bool), k=-1)
+    first = ~np.any(eq & tri, axis=-1) & called
+    dosage = np.where(first, eq.sum(-1), 0)
+    match = (parent[..., None, :] == progeny[..., :, None]) & (parent[..., None, :] >= 0)
+    copies = np.where(first, match.sum(-1), 0)
+    return dosage, copies
+
+
+def _adjust_dr(constraint, dosage, lam):
+    return np.where((lam[..., None] > 0) & (dosage >= 2) & (constraint == 1), 2, constraint)
+
+
+def duo_valid(progeny, parent, tau, lam):
+    """Batched: progeny can derive one gamete from parent (validation.py:12-31)."""
+    dosage, copies = _np_dosage_and_copies(progeny, parent)
+    constraint = _adjust_dr(np.minimum(dosage, copies), dosage, np.asarray(lam))
+    return constraint.sum(-1) >= tau
+
+
+def trio_valid(progeny, parent_p, parent_q, tau_p, tau_q, lam_p, lam_q):
+    """Batched: a valid gamete split exists (validation.py:34-99)."""
+    progeny = np.asarray(progeny)
+    maxp = progeny.shape[-1]
+    dosage, copies_p = _np_dosage_and_copies(progeny, parent_p)
+    _, copies_q = _np_dosage_and_copies(progeny, parent_q)
+    cp = _adjust_dr(np.minimum(dosage, copies_p), dosage, np.asarray(lam_p))
+    cq = _adjust_dr(np.minimum(dosage, copies_q), dosage, np.asarray(lam_q))
+    tables, valid = composition_tables(maxp)
+    tau_p = np.asarray(tau_p)
+    t = tables[tau_p]  # [..., K, maxp]
+    tv = valid[tau_p]  # [..., K]
+    ok = (
+        tv
+        & np.all(t <= cp[..., None, :], axis=-1)
+        & np.all((dosage[..., None, :] - t) >= 0, axis=-1)
+        & np.all((dosage[..., None, :] - t) <= cq[..., None, :], axis=-1)
+    )
+    base = (cp.sum(-1) >= tau_p) & (cq.sum(-1) >= np.asarray(tau_q))
+    return base & np.any(ok, axis=-1)
