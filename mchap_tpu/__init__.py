@@ -22,3 +22,40 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 __version__ = "0.1.0"
+
+from mchap_tpu import mset  # noqa: E402,F401
+from mchap_tpu.encoding.integer import (  # noqa: E402,F401
+    kmer_representation,
+    minimum_error_correction,
+)
+from mchap_tpu.io.bam import (  # noqa: E402,F401
+    encode_read_alleles,
+    encode_read_distributions,
+    extract_read_variants,
+    extract_sample_ids,
+)
+from mchap_tpu.io.bed import read_bed4  # noqa: E402,F401
+from mchap_tpu.io.loci import SNP, Locus, LocusPrior  # noqa: E402,F401
+from mchap_tpu.models.assemble import DenovoMCMC  # noqa: E402,F401
+from mchap_tpu.models.calling import CallingMCMC  # noqa: E402,F401
+from mchap_tpu.models.pedigree import PedigreeCallingMCMC  # noqa: E402,F401
+from mchap_tpu.numerics import combinadics as combinatorics  # noqa: E402,F401
+
+__all__ = [
+    "DenovoMCMC",
+    "CallingMCMC",
+    "PedigreeCallingMCMC",
+    "Locus",
+    "LocusPrior",
+    "SNP",
+    "combinatorics",
+    "read_bed4",
+    "extract_sample_ids",
+    "extract_read_variants",
+    "encode_read_alleles",
+    "encode_read_distributions",
+    "minimum_error_correction",
+    "kmer_representation",
+    "mset",
+    "__version__",
+]

@@ -28,7 +28,11 @@ from mchap_tpu.io.bed import read_bed4
 from mchap_tpu.io.fastalite import FastaFile
 from mchap_tpu.io.loci import Locus
 from mchap_tpu.io.util import qual_of_prob
-from mchap_tpu.models.assemble import DenovoMCMC, call_posterior_haplotypes
+from mchap_tpu.models.assemble import (
+    DenovoMCMC,
+    call_posterior_haplotypes,
+    fit_denovo_batch,
+)
 from mchap_tpu.numerics.combinadics import (
     count_unique_genotypes,
     genotype_alleles_as_index,
@@ -85,6 +89,29 @@ class program(baseclass.program):
                 for c, length in zip(fasta.references, fasta.lengths)
             ]
 
+    def _fit_single(self, data, sample, inbreeding, read_dists, read_counts):
+        """Fallback path: fit one sample's assembler on its own."""
+        return (
+            DenovoMCMC(
+                ploidy=data.sample_ploidy[sample],
+                n_alleles=data.locus.count_alleles(),
+                inbreeding=inbreeding,
+                steps=self.mcmc_steps,
+                chains=self.mcmc_chains,
+                alpha=self.mcmc_alpha,
+                beta=self.mcmc_beta,
+                fix_homozygous=self.mcmc_fix_homozygous,
+                recombination_step_probability=self.mcmc_recombination_step_probability,
+                partial_dosage_step_probability=self.mcmc_partial_dosage_step_probability,
+                dosage_step_probability=self.mcmc_dosage_step_probability,
+                temperatures=self.sample_mcmc_temperatures[sample],
+                random_seed=self.random_seed,
+                llk_cache_threshold=self.mcmc_llk_cache_threshold,
+            )
+            .fit(reads=read_dists, read_counts=read_counts)
+            .burn(self.mcmc_burn)
+        )
+
     def call_sample_genotypes(self, data):
         """Per-sample de novo assembly + population allele pooling.
 
@@ -92,6 +119,36 @@ class program(baseclass.program):
         """
         sample_modes = {}
         sample_posteriors = {}
+
+        # batch all samples through one device program when their ploidy
+        # and tempering ladders agree (the common case)
+        ploidies = [data.sample_ploidy[s] for s in data.samples]
+        ladders = [tuple(self.sample_mcmc_temperatures[s]) for s in data.samples]
+        batch_traces = {}
+        if len(data.samples) > 1 and len(set(ploidies)) == 1 and len(set(ladders)) == 1:
+            traces = fit_denovo_batch(
+                ploidy=ploidies[0],
+                n_alleles=data.locus.count_alleles(),
+                reads_list=[data.read_dists[s] for s in data.samples],
+                counts_list=[data.read_counts[s] for s in data.samples],
+                inbreeding_list=(
+                    None
+                    if data.sample_inbreeding is None
+                    else [data.sample_inbreeding[s] for s in data.samples]
+                ),
+                steps=self.mcmc_steps,
+                chains=self.mcmc_chains,
+                alpha=self.mcmc_alpha,
+                beta=self.mcmc_beta,
+                fix_homozygous=self.mcmc_fix_homozygous,
+                recombination_step_probability=self.mcmc_recombination_step_probability,
+                partial_dosage_step_probability=self.mcmc_partial_dosage_step_probability,
+                dosage_step_probability=self.mcmc_dosage_step_probability,
+                temperatures=ladders[0],
+                random_seed=self.random_seed,
+            )
+            batch_traces = dict(zip(data.samples, traces))
+
         for sample in data.samples:
             try:
                 if data.sample_inbreeding is None:
@@ -101,26 +158,12 @@ class program(baseclass.program):
                 read_calls = data.read_calls[sample]
                 read_dists = data.read_dists[sample]
                 read_counts = data.read_counts[sample]
-                trace = (
-                    DenovoMCMC(
-                        ploidy=data.sample_ploidy[sample],
-                        n_alleles=data.locus.count_alleles(),
-                        inbreeding=inbreeding,
-                        steps=self.mcmc_steps,
-                        chains=self.mcmc_chains,
-                        alpha=self.mcmc_alpha,
-                        beta=self.mcmc_beta,
-                        fix_homozygous=self.mcmc_fix_homozygous,
-                        recombination_step_probability=self.mcmc_recombination_step_probability,
-                        partial_dosage_step_probability=self.mcmc_partial_dosage_step_probability,
-                        dosage_step_probability=self.mcmc_dosage_step_probability,
-                        temperatures=self.sample_mcmc_temperatures[sample],
-                        random_seed=self.random_seed,
-                        llk_cache_threshold=self.mcmc_llk_cache_threshold,
+                if sample in batch_traces:
+                    trace = batch_traces[sample].burn(self.mcmc_burn)
+                else:
+                    trace = self._fit_single(
+                        data, sample, inbreeding, read_dists, read_counts
                     )
-                    .fit(reads=read_dists, read_counts=read_counts)
-                    .burn(self.mcmc_burn)
-                )
                 posterior = trace.posterior()
                 sample_posteriors[sample] = posterior
 

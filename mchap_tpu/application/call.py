@@ -26,7 +26,7 @@ from mchap_tpu.application.call_exact import _fill_invalid_sampledata
 from mchap_tpu.encoding.integer import minimum_error_correction
 from mchap_tpu.io import vcf as VCF
 from mchap_tpu.io.util import qual_of_prob
-from mchap_tpu.models.calling import CallingMCMC
+from mchap_tpu.models.calling import CallingMCMC, fit_calling_batch
 from mchap_tpu.numerics.logprob import natural_log_to_log10
 from mchap_tpu.ops import exact
 
@@ -83,27 +83,55 @@ class program(call_baseclass.program):
             _fill_invalid_sampledata(data)
             return data
 
+        # one batched device program covers every sample whose ploidy
+        # matches the modal ploidy; other ploidies run individually
+        ploidies = [data.sample_ploidy[s] for s in data.samples]
+        uniform = len(set(ploidies)) == 1
+        batch_traces = {}
+        if uniform and len(data.samples) > 1:
+            traces = fit_calling_batch(
+                ploidy=ploidies[0],
+                haplotypes=mcmc_haplotypes,
+                reads_list=[data.read_dists[s] for s in data.samples],
+                counts_list=[data.read_counts[s] for s in data.samples],
+                inbreeding_list=(
+                    None
+                    if data.sample_inbreeding is None
+                    else [data.sample_inbreeding[s] for s in data.samples]
+                ),
+                frequencies=(
+                    None if data.sample_inbreeding is None else mcmc_prior_frequencies
+                ),
+                steps=self.mcmc_steps,
+                chains=self.mcmc_chains,
+                random_seed=self.random_seed,
+            )
+            batch_traces = dict(zip(data.samples, traces))
+
         for sample in data.samples:
             try:
                 read_calls = data.read_calls[sample]
                 read_dists = data.read_dists[sample]
                 read_counts = data.read_counts[sample]
-                if data.sample_inbreeding is None:
-                    prior = None
+                if sample in batch_traces:
+                    trace = batch_traces[sample].burn(self.mcmc_burn)
                 else:
-                    prior = (data.sample_inbreeding[sample], mcmc_prior_frequencies)
-                trace = (
-                    CallingMCMC(
-                        ploidy=data.sample_ploidy[sample],
-                        haplotypes=mcmc_haplotypes,
-                        prior=prior,
-                        steps=self.mcmc_steps,
-                        chains=self.mcmc_chains,
-                        random_seed=self.random_seed,
+                    if data.sample_inbreeding is None:
+                        prior = None
+                    else:
+                        prior = (data.sample_inbreeding[sample], mcmc_prior_frequencies)
+                    trace = (
+                        CallingMCMC(
+                            ploidy=data.sample_ploidy[sample],
+                            haplotypes=mcmc_haplotypes,
+                            prior=prior,
+                            steps=self.mcmc_steps,
+                            chains=self.mcmc_chains,
+                            random_seed=self.random_seed,
+                        )
+                        .fit(reads=read_dists, read_counts=read_counts)
+                        .burn(self.mcmc_burn)
                     )
-                    .fit(reads=read_dists, read_counts=read_counts)
-                    .burn(self.mcmc_burn)
-                )
                 if mcmc_haplotype_labels is not None:
                     trace = trace.relabel(mcmc_haplotype_labels)
                 incongruence = trace.replicate_incongruence(

@@ -390,6 +390,8 @@ class AlignmentFile:
     def _load_records(self):
         if self._records_by_contig is not None:
             return
+        if self._format == "BAM" and self._load_records_native():
+            return
         buckets = {}
         if self._format == "BAM":
             with gzip.open(self._path, "rb") as f:
@@ -413,6 +415,84 @@ class AlignmentFile:
         for reads in buckets.values():
             reads.sort(key=lambda r: r.pos)
         self._records_by_contig = buckets
+
+    def _load_records_native(self):
+        """Decode records with the native C++ BGZF/BAM library.
+
+        Returns True on success; False falls back to the pure-Python
+        decoder (no toolchain, or decode error).
+        """
+        import ctypes
+
+        try:
+            from mchap_tpu.native import load_library
+        except Exception:
+            return False
+        lib = load_library()
+        if lib is None:
+            return False
+        handle = lib.bam_load(self._path.encode())
+        if not handle:
+            return False
+        try:
+            n = lib.bam_n_records(handle)
+
+            def ints(fn, count):
+                return np.ctypeslib.as_array(fn(handle), shape=(count,)).copy()
+
+            refid = ints(lib.bam_refid, n)
+            pos = ints(lib.bam_pos, n)
+            mapq = ints(lib.bam_mapq, n)
+            flag = ints(lib.bam_flag, n)
+            qname_off = np.ctypeslib.as_array(
+                lib.bam_qname_off(handle), shape=(n + 1,)
+            ).copy()
+            cigar_off = np.ctypeslib.as_array(
+                lib.bam_cigar_off(handle), shape=(n + 1,)
+            ).copy()
+            seq_off = np.ctypeslib.as_array(
+                lib.bam_seq_off(handle), shape=(n + 1,)
+            ).copy()
+            aux_off = np.ctypeslib.as_array(
+                lib.bam_aux_off(handle), shape=(n + 1,)
+            ).copy()
+            qname_blob = ctypes.string_at(lib.bam_qname_blob(handle), int(qname_off[-1]))
+            seq_blob = ctypes.string_at(lib.bam_seq_blob(handle), int(seq_off[-1]))
+            qual_blob = np.frombuffer(
+                ctypes.string_at(lib.bam_qual_blob(handle), int(seq_off[-1])),
+                dtype=np.uint8,
+            ).astype(np.int16)
+            aux_blob = ctypes.string_at(lib.bam_aux_blob(handle), int(aux_off[-1]))
+            cigar_blob = np.ctypeslib.as_array(
+                lib.bam_cigar_blob(handle), shape=(int(cigar_off[-1]),)
+            ).copy()
+        finally:
+            lib.bam_free(handle)
+
+        lens = cigar_blob >> 4
+        ops = cigar_blob & 0xF
+        buckets = {}
+        refs = self._refs
+        for i in range(n):
+            qname = qname_blob[qname_off[i] : qname_off[i + 1]].decode()
+            cigar = [
+                (_CIGAR_OPS[ops[c]], int(lens[c]))
+                for c in range(cigar_off[i], cigar_off[i + 1])
+            ]
+            seq = seq_blob[seq_off[i] : seq_off[i + 1]].decode()
+            quals = qual_blob[seq_off[i] : seq_off[i + 1]]
+            tags = _parse_aux(aux_blob, int(aux_off[i]), int(aux_off[i + 1]))
+            rid = refid[i]
+            refname = refs[rid][0] if 0 <= rid < len(refs) else None
+            read = AlignedRead(
+                qname, int(flag[i]), refname, int(pos[i]), int(mapq[i]),
+                cigar, seq, quals, tags,
+            )
+            buckets.setdefault(refname, []).append(read)
+        for reads in buckets.values():
+            reads.sort(key=lambda r: r.pos)
+        self._records_by_contig = buckets
+        return True
 
     def fetch(self, contig=None, start=None, stop=None):
         """Yield mapped reads overlapping [start, stop) of ``contig``."""

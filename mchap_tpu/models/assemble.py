@@ -178,6 +178,151 @@ class DenovoMCMC:
         return GenotypeMultiTrace(np.asarray(genotypes), np.asarray(llks))
 
 
+def fit_denovo_batch(
+    ploidy,
+    n_alleles,
+    reads_list,
+    counts_list,
+    inbreeding_list=None,
+    steps=1000,
+    chains=2,
+    alpha=1.0,
+    beta=3.0,
+    fix_homozygous=0.999,
+    recombination_step_probability=0.5,
+    partial_dosage_step_probability=0.5,
+    dosage_step_probability=1.0,
+    temperatures=(1.0,),
+    random_seed=None,
+):
+    """Run the de novo assembler for MANY samples in one device program.
+
+    The reference application loops samples sequentially
+    (application/assemble.py:109); here samples are a vmapped batch axis
+    of the jitted sampler (per-sample homozygote fixing, break
+    distributions, and inbreeding ride along as traced inputs).
+    Returns a list of GenotypeMultiTrace, one per sample.
+    """
+    from mchap_tpu.models.calling import _pad_reads_bucket
+
+    n_samples = len(reads_list)
+    n_alleles = np.array(n_alleles, dtype=np.int8)
+    n_pos = len(n_alleles)
+    use_prior = inbreeding_list is not None
+    inbreeding = (
+        np.asarray(inbreeding_list, float) if use_prior else np.zeros(n_samples)
+    )
+
+    if n_pos == 0:
+        return [
+            GenotypeMultiTrace(
+                np.zeros((chains, steps, ploidy, 0), np.int8),
+                np.full((chains, steps), np.nan),
+            )
+            for _ in range(n_samples)
+        ]
+
+    # mock zero-read samples with a single all-gap read (mcmc.py:132-137)
+    reads_list = [
+        r if len(r) else np.full((1,) + r.shape[1:], np.nan) for r in reads_list
+    ]
+    counts_list = [c if len(c) else np.ones(1) for c in counts_list]
+    reads, counts = _pad_reads_bucket(reads_list, counts_list)
+
+    # per-sample homozygote fixing
+    hom = np.stack(
+        [
+            _kernel.homozygosity_probabilities(
+                jnp.asarray(reads[i]),
+                n_alleles,
+                ploidy,
+                use_prior=use_prior,
+                inbreeding=float(inbreeding[i]),
+                read_counts=jnp.asarray(counts[i]),
+            )
+            for i in range(n_samples)
+        ]
+    )  # [S, nb, A]
+    fixed = hom >= fix_homozygous
+    homozygous = np.any(fixed, axis=-1)  # [S, nb]
+    fixed_allele = np.where(homozygous, np.argmax(fixed, axis=-1), 0)
+    n_alleles_eff = np.where(homozygous, 1, n_alleles[None, :]).astype(np.int32)
+    n_het = (~homozygous).sum(axis=-1)
+
+    break_dist = np.zeros((n_samples, n_pos))
+    for i in range(n_samples):
+        if n_het[i] > 0:
+            break_dist[i, : n_het[i]] = _point_beta_probabilities(
+                int(n_het[i]), alpha, beta
+            )
+        else:
+            break_dist[i, 0] = 1.0
+
+    temps = np.sort(np.asarray(temperatures, float))
+    assert temps[-1] == 1.0
+
+    seed = random_seed if random_seed is not None else 0
+    key = jax.random.PRNGKey(seed)
+    kinit, krun = jax.random.split(key)
+
+    init = np.zeros((n_samples, chains, ploidy, n_pos), np.int32)
+    u_all = np.asarray(
+        jax.random.uniform(
+            kinit, (n_samples, chains, ploidy, n_pos, 1), dtype=jnp.float64
+        )
+    )
+    for i in range(n_samples):
+        dist = _read_mean_dist(reads[i])
+        cdf = np.cumsum(dist, axis=-1)
+        sampled = (u_all[i] > cdf[None, None]).sum(axis=-1).astype(np.int32)
+        init[i] = np.where(
+            homozygous[i][None, None, :], fixed_allele[i][None, None, :], sampled
+        )
+
+    log_reads = prepare_reads(reads)  # [S, R, nb, A]
+
+    def one(key, init_i, lr, c, na, bd, ib):
+        return _kernel.denovo_sampler(
+            key,
+            init_i,
+            lr,
+            c,
+            na,
+            bd,
+            jnp.asarray(temps),
+            n_steps=steps,
+            use_prior=use_prior,
+            inbreeding=ib,
+            recombination_step_probability=recombination_step_probability,
+            partial_dosage_step_probability=partial_dosage_step_probability,
+            dosage_step_probability=dosage_step_probability,
+        )
+
+    keys = jax.random.split(krun, n_samples)
+    genotypes, llks = jax.vmap(one)(
+        keys,
+        jnp.asarray(init),
+        log_reads,
+        jnp.asarray(counts, jnp.float64),
+        jnp.asarray(n_alleles_eff),
+        jnp.asarray(break_dist),
+        jnp.asarray(inbreeding, jnp.float64),
+    )
+    genotypes = np.asarray(genotypes)
+    llks = np.asarray(llks)
+
+    out = []
+    for i in range(n_samples):
+        if homozygous[i].all():
+            # all-fixed shortcut semantics (nan llks, constant genotype)
+            haplotype = fixed_allele[i].astype(np.int8)
+            g = np.tile(haplotype, (chains, steps, ploidy, 1))
+            out.append(GenotypeMultiTrace(g, np.full((chains, steps), np.nan)))
+        else:
+            out.append(GenotypeMultiTrace(genotypes[i], llks[i]))
+    return out
+
+
 @dataclass
 class PosteriorGenotypeDistribution:
     """Posterior over phased genotypes; reference classes.py:54-166."""

@@ -111,6 +111,108 @@ class CallingMCMC:
         )
 
 
+def _pad_reads_bucket(reads_list, counts_list, min_bucket=8):
+    """Pad per-sample reads to a shared power-of-two read count.
+
+    Bucketing keeps one compiled sampler per (R, P, A) shape across loci
+    and samples; padded reads are nan (log 1) with count 0, so they
+    contribute nothing to any likelihood.
+    """
+    max_r = max((len(r) for r in reads_list), default=0)
+    bucket = min_bucket
+    while bucket < max_r:
+        bucket *= 2
+    shape = reads_list[0].shape[1:]
+    n = len(reads_list)
+    reads = np.full((n, bucket) + shape, np.nan)
+    counts = np.zeros((n, bucket))
+    for i, (r, c) in enumerate(zip(reads_list, counts_list)):
+        reads[i, : len(r)] = r
+        counts[i, : len(c)] = c
+    return reads, counts
+
+
+def fit_calling_batch(
+    ploidy,
+    haplotypes,
+    reads_list,
+    counts_list,
+    inbreeding_list=None,
+    frequencies=None,
+    steps=1000,
+    chains=2,
+    random_seed=None,
+    step_type="Gibbs",
+):
+    """Fit the calling sampler for MANY samples in one device program.
+
+    The per-sample loop of the reference application (call.py:120-199,
+    one sampler run per sample) becomes a vmapped batch: one read-hap
+    matmul for all samples, one compiled sampler for all samples x
+    chains.  Returns a list of GenotypeAllelesMultiTrace, one per sample.
+    """
+    haplotypes = np.asarray(haplotypes)
+    n_alleles = len(haplotypes)
+    n_samples = len(reads_list)
+
+    if reads_list[0].shape[1] == 0:
+        # zero-variant shortcut for every sample
+        assert n_alleles == 1
+        return [
+            GenotypeAllelesMultiTrace(
+                np.zeros((chains, steps, ploidy), np.int8),
+                np.full((chains, steps), np.nan),
+                n_alleles,
+            )
+            for _ in range(n_samples)
+        ]
+
+    reads, counts = _pad_reads_bucket(reads_list, counts_list)
+    log_reads = prepare_reads(reads)
+    read_hap = read_hap_loglik(log_reads, jnp.asarray(haplotypes))  # [S, R, H]
+    counts = jnp.asarray(counts, read_hap.dtype)
+
+    if inbreeding_list is None:
+        prior_kind = 0
+        inbreeding = jnp.zeros(n_samples)
+        freqs = None
+    else:
+        prior_kind = 1
+        inbreeding = jnp.asarray(inbreeding_list, jnp.float64)
+        freqs = (
+            jnp.asarray(frequencies, jnp.float64) if frequencies is not None else None
+        )
+
+    step_type_i = {"Gibbs": 0, "Metropolis-Hastings": 1}[step_type]
+    seed = random_seed if random_seed is not None else 0
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_samples)
+
+    def one(key, rh, c, f):
+        initial = _kernel.greedy_caller(
+            rh, c, ploidy=ploidy, prior_kind=prior_kind, inbreeding=f,
+            frequencies=freqs,
+        )
+        return _kernel.calling_sampler(
+            key,
+            jnp.broadcast_to(initial, (chains, ploidy)),
+            rh,
+            c,
+            n_steps=steps,
+            step_type=step_type_i,
+            prior_kind=prior_kind,
+            inbreeding=f,
+            frequencies=freqs,
+        )
+
+    genotypes, llks = jax.vmap(one)(keys, read_hap, counts, inbreeding)
+    genotypes = np.asarray(genotypes, np.int32)
+    llks = np.asarray(llks)
+    return [
+        GenotypeAllelesMultiTrace(genotypes[i], llks[i], n_alleles)
+        for i in range(n_samples)
+    ]
+
+
 @dataclass
 class GenotypeAllelesMultiTrace:
     """Multi-chain trace of allele-index genotypes.

@@ -189,3 +189,36 @@ def test_snp_dataclass_ordering():
     a = SNP("CHR1", 5, 6, ".", ("A", "T"))
     b = SNP("CHR1", 9, 10, ".", ("A", "C"))
     assert a < b
+
+
+def test_native_decoder_matches_python(fixture_data_dir, monkeypatch):
+    """The C++ BGZF/BAM decoder must produce identical records to the
+    pure-Python decoder."""
+    import mchap_tpu.native as native
+
+    lib = native.load_library()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    path = str(fixture_data_dir / "simple.sample1.deep.bam")
+
+    fast = AlignmentFile(path)
+    assert fast._load_records_native()
+
+    slow = AlignmentFile(path)
+    monkeypatch.setattr(native, "load_library", lambda: None)
+    slow._load_records()
+
+    assert set(fast._records_by_contig) == set(slow._records_by_contig)
+    for contig in fast._records_by_contig:
+        a = fast._records_by_contig[contig]
+        b = slow._records_by_contig[contig]
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            assert x.qname == y.qname
+            assert x.flag == y.flag
+            assert x.pos == y.pos
+            assert x.mapping_quality == y.mapping_quality
+            assert x.cigar == y.cigar
+            assert x.seq == y.seq
+            np.testing.assert_array_equal(x.quals, y.quals)
+            assert x.tags == y.tags
