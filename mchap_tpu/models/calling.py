@@ -20,6 +20,43 @@ from mchap_tpu.ops import calling_mcmc as _kernel
 from mchap_tpu.ops.likelihood import prepare_reads, read_hap_loglik
 
 
+def _fit_batch_pallas(read_hap, counts, ploidy, steps, chains, seed, n_alleles):
+    """Run all samples x chains through the VMEM-resident pallas kernel.
+
+    Layout: one 128-wide lane per chain (samples' read-hap matrices
+    replicated across their chains; dummy zero-count lanes pad to a
+    multiple of 128).  Differences vs the XLA path — systematic slot
+    order and an all-reference initial state — are valid sampler choices
+    covered by the exact-posterior gates.
+    """
+    from mchap_tpu.ops.pallas_calling import pallas_calling_sampler
+
+    n_samples = read_hap.shape[0]
+    b = n_samples * chains
+    b_pad = ((b + 127) // 128) * 128
+    rh_cl = jnp.repeat(
+        jnp.transpose(read_hap, (1, 2, 0)), chains, axis=2
+    ).astype(jnp.float32)  # [R, H, S*chains]
+    counts_cl = jnp.repeat(jnp.transpose(counts, (1, 0)), chains, axis=1).astype(
+        jnp.float32
+    )  # [R, S*chains]
+    if b_pad != b:
+        rh_cl = jnp.pad(rh_cl, ((0, 0), (0, 0), (0, b_pad - b)))
+        counts_cl = jnp.pad(counts_cl, ((0, 0), (0, b_pad - b)))
+    genotypes, llks = pallas_calling_sampler(
+        jnp.int32(seed), rh_cl, counts_cl, n_steps=steps, ploidy=ploidy
+    )
+    genotypes = np.asarray(genotypes)[:, :, :b]  # [steps, p, S*chains]
+    llks = np.asarray(llks)[:, :b]
+    genotypes = genotypes.reshape(steps, ploidy, n_samples, chains)
+    genotypes = genotypes.transpose(2, 3, 0, 1).astype(np.int32)
+    llks = llks.reshape(steps, n_samples, chains).transpose(1, 2, 0)
+    return [
+        GenotypeAllelesMultiTrace(genotypes[i], llks[i].astype(float), n_alleles)
+        for i in range(n_samples)
+    ]
+
+
 def _prior_kind_and_params(prior, n_alleles):
     """Translate the reference's ``prior`` tuple into kernel parameters."""
     if prior is None:
@@ -185,6 +222,27 @@ def fit_calling_batch(
 
     step_type_i = {"Gibbs": 0, "Metropolis-Hastings": 1}[step_type]
     seed = random_seed if random_seed is not None else 0
+
+    # fast path: the VMEM-resident pallas kernel covers the default
+    # configuration (flat-prior Gibbs) on TPU; estimated VMEM must fit
+    n_reads_b = read_hap.shape[1]
+    h8 = ((n_alleles + 7) // 8) * 8
+    vmem_bytes = 4 * 128 * (
+        n_reads_b * h8 + n_reads_b * (ploidy + 1) + ploidy * h8 + 4 * h8
+    )
+    if (
+        prior_kind == 0
+        and step_type_i == 0
+        and jax.default_backend() not in ("cpu",)
+        and vmem_bytes < 6 * 1024 * 1024
+    ):
+        try:
+            return _fit_batch_pallas(
+                read_hap, counts, ploidy, steps, chains, seed, n_alleles
+            )
+        except Exception:
+            pass  # fall through to the XLA path
+
     keys = jax.random.split(jax.random.PRNGKey(seed), n_samples)
 
     def one(key, rh, c, f):
