@@ -91,6 +91,19 @@ class program:
     def loci(self):
         raise NotImplementedError()
 
+    def _alignment_file(self, path):
+        """Cached alignment handles: the standalone reader decodes and
+        position-indexes a file once, so re-opening per locus x sample
+        (the reference's pattern, viable there because htslib seeks via
+        the .bai index) would re-decode the whole BAM every time."""
+        cache = getattr(self, "_alignment_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_alignment_cache", cache)
+        if path not in cache:
+            cache[path] = AlignmentFile(path, reference_filename=self.ref)
+        return cache[path]
+
     def header_contigs(self):
         contigs = []
         with VariantFile(self.vcf) as f:
@@ -156,7 +169,7 @@ class program:
                 pairs = data.sample_bams[sample]
                 read_chars, read_quals = [], []
                 for name, path in pairs:
-                    alignment_file = AlignmentFile(path, reference_filename=self.ref)
+                    alignment_file = self._alignment_file(path)
                     chars, quals = extract_read_variants(
                         data.locus,
                         alignment_file=alignment_file,
