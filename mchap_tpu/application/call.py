@@ -5,6 +5,7 @@ device program (models/calling.py).
 """
 
 import argparse
+import os
 import sys
 from dataclasses import dataclass
 
@@ -18,15 +19,21 @@ from mchap_tpu.application.arguments import (
 from mchap_tpu.application.baseclass import (
     ALT,
     FILTER,
+    LOCUS_ASSEMBLY_ERROR,
     REF,
     SAMPLE_ASSEMBLY_ERROR,
+    LocusAssemblyError,
     SampleAssemblyError,
 )
 from mchap_tpu.application.call_exact import _fill_invalid_sampledata
 from mchap_tpu.encoding.integer import minimum_error_correction
 from mchap_tpu.io import vcf as VCF
 from mchap_tpu.io.util import qual_of_prob
-from mchap_tpu.models.calling import CallingMCMC, fit_calling_batch
+from mchap_tpu.models.calling import (
+    CallingMCMC,
+    fit_calling_batch,
+    fit_calling_multi,
+)
 from mchap_tpu.numerics.logprob import natural_log_to_log10
 from mchap_tpu.ops import exact
 
@@ -50,8 +57,9 @@ class program(call_baseclass.program):
         arguments = collect_call_mcmc_program_arguments(args)
         return cls(cli_command=command, **arguments)
 
-    def call_sample_genotypes(self, data):
-        """MCMC call per sample; reference call.py:49-199."""
+    def _setup_locus(self, data):
+        """Panel masking + invalid-scenario handling; returns a setup dict
+        or None when the locus is filtered (NOA/AF0)."""
         haplotypes = data.locus.encode_haplotypes()
         prior_frequencies = data.locus.frequencies
         mask_reference_allele = data.locus.mask_reference_allele
@@ -77,11 +85,76 @@ class program(call_baseclass.program):
         if len(mcmc_haplotypes) == 0:
             data.columndata[FILTER].append(VCF.NOA.id)
             _fill_invalid_sampledata(data)
-            return data
+            return None
         if (prior_frequencies is not None) and np.any(np.isnan(prior_frequencies)):
             data.columndata[FILTER].append(VCF.AF0.id)
             _fill_invalid_sampledata(data)
+            return None
+        return dict(
+            haplotypes=haplotypes,
+            mcmc_haplotypes=mcmc_haplotypes,
+            mcmc_prior_frequencies=mcmc_prior_frequencies,
+            mcmc_haplotype_labels=mcmc_haplotype_labels,
+        )
+
+    def _finish_sample(self, data, sample, trace, setup):
+        """Posterior summarisation of one sample's trace (call.py:149-199)."""
+        haplotypes = setup["haplotypes"]
+        read_calls = data.read_calls[sample]
+        read_dists = data.read_dists[sample]
+        read_counts = data.read_counts[sample]
+        if setup["mcmc_haplotype_labels"] is not None:
+            trace = trace.relabel(setup["mcmc_haplotype_labels"])
+        incongruence = trace.replicate_incongruence(
+            threshold=self.mcmc_incongruence_threshold
+        )
+        posterior = trace.posterior()
+        alleles, genotype_prob, genotype_support_prob = posterior.mode(
+            genotype_support=True
+        )
+
+        data.sampledata[VCF.FORMAT_GT][sample] = alleles
+        data.sampledata[VCF.FORMAT_GQ][sample] = qual_of_prob(genotype_prob)
+        data.sampledata[VCF.FORMAT_GPM][sample] = float(genotype_prob)
+        data.sampledata[VCF.FORMAT_SPM][sample] = float(genotype_support_prob)
+        data.sampledata[VCF.FORMAT_SQ][sample] = qual_of_prob(genotype_support_prob)
+        data.sampledata[VCF.FORMAT_MCI][sample] = incongruence
+        mec = np.sum(minimum_error_correction(read_calls, haplotypes[alleles]))
+        mec_denom = np.sum(read_calls >= 0)
+        data.sampledata[VCF.FORMAT_MEC][sample] = mec
+        data.sampledata[VCF.FORMAT_MECP][sample] = (
+            mec / mec_denom if mec_denom > 0 else np.nan
+        )
+
+        if self.require_AFP():
+            frequencies, counts, occurrence = trace.posterior_frequencies()
+            data.sampledata[VCF.FORMAT_ACP][sample] = counts
+            data.sampledata[VCF.FORMAT_AFP][sample] = frequencies
+            data.sampledata[VCF.FORMAT_AOP][sample] = occurrence
+        if VCF.FORMAT_GP in data.formatfields:
+            data.sampledata[VCF.FORMAT_GP][sample] = posterior.as_array(
+                len(haplotypes)
+            )
+        if VCF.FORMAT_GL in data.formatfields:
+            llks = np.asarray(
+                exact.genotype_likelihoods(
+                    read_dists,
+                    data.sample_ploidy[sample],
+                    haplotypes,
+                    read_counts,
+                )
+            )
+            data.sampledata[VCF.FORMAT_GL][sample] = np.asarray(
+                natural_log_to_log10(llks)
+            )
+
+    def call_sample_genotypes(self, data):
+        """MCMC call per sample; reference call.py:49-199."""
+        setup = self._setup_locus(data)
+        if setup is None:
             return data
+        mcmc_haplotypes = setup["mcmc_haplotypes"]
+        mcmc_prior_frequencies = setup["mcmc_prior_frequencies"]
 
         # one batched device program covers every sample whose ploidy
         # matches the modal ploidy; other ploidies run individually
@@ -110,75 +183,146 @@ class program(call_baseclass.program):
 
         for sample in data.samples:
             try:
-                read_calls = data.read_calls[sample]
-                read_dists = data.read_dists[sample]
-                read_counts = data.read_counts[sample]
                 if sample in batch_traces:
                     trace = batch_traces[sample].burn(self.mcmc_burn)
                 else:
-                    if data.sample_inbreeding is None:
-                        prior = None
-                    else:
-                        prior = (data.sample_inbreeding[sample], mcmc_prior_frequencies)
-                    trace = (
-                        CallingMCMC(
-                            ploidy=data.sample_ploidy[sample],
-                            haplotypes=mcmc_haplotypes,
-                            prior=prior,
-                            steps=self.mcmc_steps,
-                            chains=self.mcmc_chains,
-                            random_seed=self.random_seed,
-                        )
-                        .fit(reads=read_dists, read_counts=read_counts)
-                        .burn(self.mcmc_burn)
-                    )
-                if mcmc_haplotype_labels is not None:
-                    trace = trace.relabel(mcmc_haplotype_labels)
-                incongruence = trace.replicate_incongruence(
-                    threshold=self.mcmc_incongruence_threshold
-                )
-                posterior = trace.posterior()
-                alleles, genotype_prob, genotype_support_prob = posterior.mode(
-                    genotype_support=True
-                )
-
-                data.sampledata[VCF.FORMAT_GT][sample] = alleles
-                data.sampledata[VCF.FORMAT_GQ][sample] = qual_of_prob(genotype_prob)
-                data.sampledata[VCF.FORMAT_GPM][sample] = float(genotype_prob)
-                data.sampledata[VCF.FORMAT_SPM][sample] = float(genotype_support_prob)
-                data.sampledata[VCF.FORMAT_SQ][sample] = qual_of_prob(
-                    genotype_support_prob
-                )
-                data.sampledata[VCF.FORMAT_MCI][sample] = incongruence
-                mec = np.sum(minimum_error_correction(read_calls, haplotypes[alleles]))
-                mec_denom = np.sum(read_calls >= 0)
-                data.sampledata[VCF.FORMAT_MEC][sample] = mec
-                data.sampledata[VCF.FORMAT_MECP][sample] = (
-                    mec / mec_denom if mec_denom > 0 else np.nan
-                )
-
-                if self.require_AFP():
-                    frequencies, counts, occurrence = trace.posterior_frequencies()
-                    data.sampledata[VCF.FORMAT_ACP][sample] = counts
-                    data.sampledata[VCF.FORMAT_AFP][sample] = frequencies
-                    data.sampledata[VCF.FORMAT_AOP][sample] = occurrence
-                if VCF.FORMAT_GP in data.formatfields:
-                    data.sampledata[VCF.FORMAT_GP][sample] = posterior.as_array(
-                        len(haplotypes)
-                    )
-                if VCF.FORMAT_GL in data.formatfields:
-                    llks = np.asarray(
-                        exact.genotype_likelihoods(
-                            read_dists,
-                            data.sample_ploidy[sample],
-                            haplotypes,
-                            read_counts,
-                        )
-                    )
-                    data.sampledata[VCF.FORMAT_GL][sample] = np.asarray(
-                        natural_log_to_log10(llks)
-                    )
+                    trace = self._fit_sample_trace(data, setup, sample)
+                self._finish_sample(data, sample, trace, setup)
             except Exception as e:
                 message = SAMPLE_ASSEMBLY_ERROR.format(sample=sample)
                 raise SampleAssemblyError(message) from e
         return data
+
+    def _fit_sample_trace(self, data, setup, sample):
+        """One sampler run for one sample (reference call.py:120-148)."""
+        if data.sample_inbreeding is None:
+            prior = None
+        else:
+            prior = (
+                data.sample_inbreeding[sample],
+                setup["mcmc_prior_frequencies"],
+            )
+        return (
+            CallingMCMC(
+                ploidy=data.sample_ploidy[sample],
+                haplotypes=setup["mcmc_haplotypes"],
+                prior=prior,
+                steps=self.mcmc_steps,
+                chains=self.mcmc_chains,
+                random_seed=self.random_seed,
+            )
+            .fit(
+                reads=data.read_dists[sample],
+                read_counts=data.read_counts[sample],
+            )
+            .burn(self.mcmc_burn)
+        )
+
+    def _call_locus_block(self, loci):
+        """Call a block of loci with ONE device program per ploidy group.
+
+        Cross-locus streaming: every (locus, sample) problem in the block
+        is padded into a single batch (models/calling.py
+        ``fit_calling_multi``) so loci stream through the chip instead of
+        one device round-trip per sample.  The reference parallelises the
+        same axis with one forked process per locus (baseclass.py:360-394).
+        Returns formatted VCF record lines in input order.
+        """
+        prepared = []
+        for locus in loci:
+            try:
+                data = self._locus_data(locus, self.sample_bams)
+                self.encode_sample_reads(data)
+                setup = self._setup_locus(data)
+            except Exception as e:
+                message = LOCUS_ASSEMBLY_ERROR.format(
+                    name=locus.name,
+                    contig=locus.contig,
+                    start=locus.start,
+                    stop=locus.stop,
+                )
+                raise LocusAssemblyError(message) from e
+            prepared.append((locus, data, setup))
+
+        # gather device-batchable problems, grouped by ploidy
+        groups = {}
+        for idx, (locus, data, setup) in enumerate(prepared):
+            if setup is None or setup["mcmc_haplotypes"].shape[1] == 0:
+                continue  # filtered locus or zero-variant shortcut
+            for sample in data.samples:
+                problem = dict(
+                    reads=data.read_dists[sample],
+                    counts=data.read_counts[sample],
+                    haplotypes=setup["mcmc_haplotypes"],
+                )
+                if data.sample_inbreeding is not None:
+                    problem["inbreeding"] = data.sample_inbreeding[sample]
+                    problem["frequencies"] = setup["mcmc_prior_frequencies"]
+                groups.setdefault(data.sample_ploidy[sample], []).append(
+                    (idx, sample, problem)
+                )
+        traces = {}
+        for ploidy, items in groups.items():
+            try:
+                fitted = fit_calling_multi(
+                    [p for _, _, p in items],
+                    ploidy,
+                    steps=self.mcmc_steps,
+                    chains=self.mcmc_chains,
+                    random_seed=self.random_seed,
+                )
+            except Exception:
+                continue  # per-sample fallback below
+            for (idx, sample, _), t in zip(items, fitted):
+                traces[(idx, sample)] = t
+
+        results = []
+        for idx, (locus, data, setup) in enumerate(prepared):
+            try:
+                if setup is not None:
+                    for sample in data.samples:
+                        try:
+                            t = traces.get((idx, sample))
+                            if t is not None:
+                                trace = t.burn(self.mcmc_burn)
+                            else:
+                                trace = self._fit_sample_trace(
+                                    data, setup, sample
+                                )
+                            self._finish_sample(data, sample, trace, setup)
+                        except Exception as e:
+                            message = SAMPLE_ASSEMBLY_ERROR.format(
+                                sample=sample
+                            )
+                            raise SampleAssemblyError(message) from e
+                self.sumarise_vcf_record(data)
+                results.append(data.format_vcf_record())
+            except Exception as e:
+                message = LOCUS_ASSEMBLY_ERROR.format(
+                    name=locus.name,
+                    contig=locus.contig,
+                    start=locus.start,
+                    stop=locus.stop,
+                )
+                raise LocusAssemblyError(message) from e
+        return results
+
+    def run_stdout(self):
+        """Stream VCF records; ``MCHAP_LOCUS_BATCH`` > 1 turns on
+        cross-locus device batching (default 1 = per-locus, which keeps
+        output byte-reproducible with the unbatched path)."""
+        block = int(os.environ.get("MCHAP_LOCUS_BATCH", "1"))
+        if block <= 1:
+            return super().run_stdout()
+        for line in self.header():
+            sys.stdout.write(line + "\n")
+        pending = []
+        for locus in self.loci():
+            pending.append(locus)
+            if len(pending) >= block:
+                for line in self._call_locus_block(pending):
+                    sys.stdout.write(line + "\n")
+                pending = []
+        if pending:
+            for line in self._call_locus_block(pending):
+                sys.stdout.write(line + "\n")

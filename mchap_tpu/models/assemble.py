@@ -10,7 +10,7 @@ out, keeping one compiled shape per (ploidy, n_base, reads) bucket.
 """
 
 from collections import Counter
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import reduce
 
 import jax
@@ -19,7 +19,7 @@ import numpy as np
 from scipy import stats as _stats
 
 from mchap_tpu import mset
-from mchap_tpu.encoding import integer
+
 from mchap_tpu.ops import assemble_mcmc as _kernel
 from mchap_tpu.ops.likelihood import prepare_reads
 
@@ -104,14 +104,10 @@ class DenovoMCMC:
         homozygous = np.any(fixed, axis=-1)
         fixed_allele = np.where(homozygous, np.argmax(fixed, axis=-1), 0)
 
-        if homozygous.all() and n_pos > 0:
+        if homozygous.all():
             # nothing to sample: tile the fixed haplotype
             haplotype = fixed_allele.astype(np.int8)
             genotypes = np.tile(haplotype, (self.chains, self.steps, self.ploidy, 1))
-            llks = np.full((self.chains, self.steps), np.nan)
-            return GenotypeMultiTrace(genotypes, llks)
-        if n_pos == 0:
-            genotypes = np.zeros((self.chains, self.steps, self.ploidy, 0), np.int8)
             llks = np.full((self.chains, self.steps), np.nan)
             return GenotypeMultiTrace(genotypes, llks)
 

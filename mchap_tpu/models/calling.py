@@ -20,7 +20,8 @@ from mchap_tpu.ops import calling_mcmc as _kernel
 from mchap_tpu.ops.likelihood import prepare_reads, read_hap_loglik
 
 
-def _fit_batch_pallas(read_hap, counts, ploidy, steps, chains, seed, n_alleles):
+def _fit_batch_pallas(read_hap, counts, ploidy, steps, chains, seed, n_alleles,
+                      n_valid=None):
     """Run all samples x chains through the VMEM-resident pallas kernel.
 
     Layout: one 128-wide lane per chain (samples' read-hap matrices
@@ -43,8 +44,13 @@ def _fit_batch_pallas(read_hap, counts, ploidy, steps, chains, seed, n_alleles):
     if b_pad != b:
         rh_cl = jnp.pad(rh_cl, ((0, 0), (0, 0), (0, b_pad - b)))
         counts_cl = jnp.pad(counts_cl, ((0, 0), (0, b_pad - b)))
+    nv_cl = None
+    if n_valid is not None:
+        nv_cl = np.repeat(np.asarray(n_valid, np.int32), chains)
+        nv_cl = np.pad(nv_cl, (0, b_pad - b), constant_values=1)
     genotypes, llks = pallas_calling_sampler(
-        jnp.int32(seed), rh_cl, counts_cl, n_steps=steps, ploidy=ploidy
+        jnp.int32(seed), rh_cl, counts_cl, n_steps=steps, ploidy=ploidy,
+        n_valid=nv_cl,
     )
     genotypes = np.asarray(genotypes)[:, :, :b]  # [steps, p, S*chains]
     llks = np.asarray(llks)[:, :b]
@@ -268,6 +274,141 @@ def fit_calling_batch(
     return [
         GenotypeAllelesMultiTrace(genotypes[i], llks[i], n_alleles)
         for i in range(n_samples)
+    ]
+
+
+def fit_calling_multi(
+    problems,
+    ploidy,
+    steps=1000,
+    chains=2,
+    random_seed=None,
+    step_type="Gibbs",
+):
+    """Fit the calling sampler for problems spanning MANY LOCI at once.
+
+    ``problems``: list of dicts with keys ``reads`` (f[R_i, P_i, A_i]),
+    ``counts`` (f[R_i]), ``haplotypes`` (i[H_i, P_i]) and optionally
+    ``inbreeding``/``frequencies``.  Panels are padded to the block's max
+    size with impossible (-inf) columns, reads to a power-of-two bucket —
+    ONE device program then samples every (locus, sample) chain, which is
+    how loci stream through the chip instead of one device call per
+    sample (SURVEY.md §2.8 data-parallel axis).
+
+    Returns one GenotypeAllelesMultiTrace per problem (alleles indexed
+    within each problem's own panel).
+    """
+    from mchap_tpu.ops.likelihood import MIN_LOG
+
+    n_problems = len(problems)
+    use_prior = any("inbreeding" in p for p in problems)
+    h_max = max(len(p["haplotypes"]) for p in problems)
+
+    # per-problem read-hap matrices, padded on H with -inf columns
+    rh_list = []
+    counts_list = []
+    freq_rows = []
+    inbreeding_rows = []
+    for p in problems:
+        log_reads = prepare_reads(p["reads"])
+        rh = np.asarray(read_hap_loglik(log_reads, jnp.asarray(p["haplotypes"])))
+        h_i = rh.shape[1]
+        if h_i < h_max:
+            rh = np.concatenate(
+                [rh, np.full((rh.shape[0], h_max - h_i), MIN_LOG)], axis=1
+            )
+        rh_list.append(rh)
+        counts_list.append(np.asarray(p["counts"], float))
+        if use_prior:
+            freqs = p.get("frequencies")
+            if freqs is None:
+                freqs = np.full(h_i, 1.0 / h_i)
+            freq_rows.append(np.pad(np.asarray(freqs, float), (0, h_max - h_i)))
+            inbreeding_rows.append(float(p.get("inbreeding", 0.0)))
+
+    # pad reads to a shared power-of-two bucket
+    max_r = max(len(r) for r in rh_list)
+    bucket = 8
+    while bucket < max_r:
+        bucket *= 2
+    read_hap = np.full((n_problems, bucket, h_max), 0.0)
+    counts = np.zeros((n_problems, bucket))
+    for i, (rh, c) in enumerate(zip(rh_list, counts_list)):
+        read_hap[i, : len(rh)] = rh
+        counts[i, : len(c)] = c
+    read_hap = jnp.asarray(read_hap)
+    counts = jnp.asarray(counts, read_hap.dtype)
+
+    step_type_i = {"Gibbs": 0, "Metropolis-Hastings": 1}[step_type]
+    seed = random_seed if random_seed is not None else 0
+
+    h8 = ((h_max + 7) // 8) * 8
+    vmem_bytes = 4 * 128 * (
+        bucket * h8 + bucket * (ploidy + 1) + ploidy * h8 + 4 * h8
+    )
+    n_valid = np.array([len(p["haplotypes"]) for p in problems], np.int32)
+    if (
+        not use_prior
+        and step_type_i == 0
+        and jax.default_backend() != "cpu"
+        and vmem_bytes < 6 * 1024 * 1024
+    ):
+        try:
+            traces = _fit_batch_pallas(
+                read_hap, counts, ploidy, steps, chains, seed, h_max,
+                n_valid=n_valid,
+            )
+            # rewrap with each problem's own panel size (padding columns
+            # are -inf so never sampled)
+            return [
+                GenotypeAllelesMultiTrace(
+                    t.genotypes, t.llks, len(problems[i]["haplotypes"])
+                )
+                for i, t in enumerate(traces)
+            ]
+        except Exception:
+            pass
+
+    prior_kind = 1 if use_prior else 0
+    inbreeding = jnp.asarray(inbreeding_rows if use_prior else np.zeros(n_problems))
+    freqs = jnp.asarray(np.stack(freq_rows)) if use_prior else None
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_problems)
+
+    n_valid_j = jnp.asarray(n_valid)
+
+    def one(key, rh, c, f, fr, nv):
+        initial = _kernel.greedy_caller(
+            rh, c, ploidy=ploidy, prior_kind=prior_kind, inbreeding=f,
+            frequencies=fr, n_valid=nv,
+        )
+        return _kernel.calling_sampler(
+            key,
+            jnp.broadcast_to(initial, (chains, ploidy)),
+            rh,
+            c,
+            n_steps=steps,
+            step_type=step_type_i,
+            prior_kind=prior_kind,
+            inbreeding=f,
+            frequencies=fr,
+            n_valid=nv,
+        )
+
+    if use_prior:
+        genotypes, llks = jax.vmap(one)(
+            keys, read_hap, counts, inbreeding, freqs, n_valid_j
+        )
+    else:
+        genotypes, llks = jax.vmap(
+            lambda k, rh, c, f, nv: one(k, rh, c, f, None, nv)
+        )(keys, read_hap, counts, inbreeding, n_valid_j)
+    genotypes = np.asarray(genotypes, np.int32)
+    llks = np.asarray(llks)
+    return [
+        GenotypeAllelesMultiTrace(
+            genotypes[i], llks[i], len(problems[i]["haplotypes"])
+        )
+        for i in range(n_problems)
     ]
 
 

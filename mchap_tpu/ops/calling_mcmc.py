@@ -72,19 +72,22 @@ def _option_priors(genotype, slot, n_alleles, prior_kind, inbreeding, frequencie
 
 
 def _gibbs_slot(key, genotype, slot, read_hap, read_counts, log_ploidy,
-                prior_kind, inbreeding, frequencies):
+                prior_kind, inbreeding, frequencies, n_valid=None):
     n_alleles = read_hap.shape[-1]
     llks = _option_llks(read_hap, read_counts, genotype, slot, log_ploidy)
     lpriors = _option_priors(
         genotype, slot, n_alleles, prior_kind, inbreeding, frequencies
     )
     logits = llks + lpriors.astype(llks.dtype)
+    if n_valid is not None:
+        # columns >= n_valid are padding alleles (cross-locus batching)
+        logits = jnp.where(jnp.arange(n_alleles) < n_valid, logits, _NEG)
     choice = jax.random.categorical(key, logits)
     return genotype.at[slot].set(choice.astype(genotype.dtype)), llks[choice]
 
 
 def _mh_slot(key, genotype, slot, read_hap, read_counts, log_ploidy,
-             prior_kind, inbreeding, frequencies):
+             prior_kind, inbreeding, frequencies, n_valid=None):
     """Metropolis-Hastings slot update; reference calling/mcmc.py:15-140."""
     n_alleles = read_hap.shape[-1]
     ploidy = genotype.shape[0]
@@ -113,7 +116,13 @@ def _mh_slot(key, genotype, slot, read_hap, read_counts, log_ploidy,
     )
     mh_ratio = (llks - llk) + (lpriors - lprior) + lproposal
     accept = jnp.exp(jnp.minimum(0.0, mh_ratio))
-    probs = accept.at[current].set(0.0) / (n_alleles - 1)
+    if n_valid is None:
+        n_proposals = n_alleles - 1
+    else:
+        # padding alleles are never proposed; uniform over the valid rest
+        accept = jnp.where(jnp.arange(n_alleles) < n_valid, accept, 0.0)
+        n_proposals = (n_valid - 1).astype(accept.dtype)
+    probs = accept.at[current].set(0.0) / n_proposals
     probs = probs.at[current].set(1.0 - jnp.sum(probs.at[current].set(0.0)))
     # inverse-CDF draw matching reference random_choice semantics
     cdf = jnp.cumsum(probs)
@@ -137,6 +146,7 @@ def calling_sampler(
     prior_kind=0,
     inbreeding=0.0,
     frequencies=None,
+    n_valid=None,
 ):
     """Run batched-chain MCMC over allele-index genotypes.
 
@@ -151,6 +161,9 @@ def calling_sampler(
     prior_kind : static, 0 = flat (no prior supplied), 1 = DM/frequency
     inbreeding : traced float
     frequencies : f[H] or None (must be an array when prior_kind == 1)
+    n_valid : traced int or None — number of real (non-padding) alleles;
+        columns >= n_valid of ``read_hap`` are cross-locus batch padding
+        and are excluded from sampling
 
     Returns
     -------
@@ -176,7 +189,7 @@ def calling_sampler(
                 slot, skey = xs
                 g, llk = slot_fn(
                     skey, g, slot, read_hap, read_counts, log_ploidy,
-                    prior_kind, inbreeding, freqs,
+                    prior_kind, inbreeding, freqs, n_valid,
                 )
                 return g, llk
 
@@ -200,6 +213,7 @@ def greedy_caller(
     prior_kind=0,
     inbreeding=0.0,
     frequencies=None,
+    n_valid=None,
 ):
     """Greedy initial genotype: add the best allele one slot at a time.
 
@@ -230,6 +244,9 @@ def greedy_caller(
             lpriors = log_genotype_prior(
                 options, n_alleles, inbreeding=inbreeding, frequencies=freqs
             )
-        best = jnp.argmax(llks + lpriors)
+        scores = llks + lpriors
+        if n_valid is not None:
+            scores = jnp.where(jnp.arange(n_alleles) < n_valid, scores, _NEG)
+        best = jnp.argmax(scores)
         genotype = jnp.concatenate([genotype, best[None].astype(jnp.int32)])
     return jnp.sort(genotype)

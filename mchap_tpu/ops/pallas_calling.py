@@ -52,19 +52,21 @@ def _uniform_from_bits(bits):
     return jnp.maximum(f - 1.0, 1e-12)
 
 
-def _make_kernel(n_steps, ploidy, n_reads, n_alleles, n_real):
+def _make_kernel(n_steps, ploidy, n_reads, n_alleles):
     """Kernel factory; the body is the variant empirically verified to
     compile under the Mosaic toolchain (see module docstring)."""
     STEPS = n_steps
     P = ploidy
     H = n_alleles
 
-    def kern(seed_ref, rh_ref, counts_ref, out_g_ref, out_llk_ref, g_s, s_s):
+    def kern(seed_ref, rh_ref, counts_ref, nvalid_ref, out_g_ref, out_llk_ref,
+             g_s, s_s):
         tile = pl.program_id(0)
         step = pl.program_id(1)
         pltpu.prng_seed(seed_ref[0] + tile * jnp.int32(STEPS) + step)
         rh = rh_ref[:]
         counts = counts_ref[:]
+        nv = nvalid_ref[0, :]  # i32[LANES] per-lane real-allele count
         log_p = jnp.log(jnp.float32(P))
 
         @pl.when(step == 0)
@@ -95,7 +97,7 @@ def _make_kernel(n_steps, ploidy, n_reads, n_alleles, n_real):
                     cnt = cnt + g_s[i, :, :]
             logits = llks + jnp.log1p(cnt)
             li = jax.lax.broadcasted_iota(jnp.int32, (H, LANES), 0)
-            logits = jnp.where(li < jnp.int32(n_real), logits, jnp.float32(-1e30))
+            logits = jnp.where(li < nv[None, :], logits, jnp.float32(-1e30))
             u = _uniform_from_bits(
                 pltpu.bitcast(pltpu.prng_random_bits((H, LANES)), jnp.uint32)
             )
@@ -119,7 +121,7 @@ def _make_kernel(n_steps, ploidy, n_reads, n_alleles, n_real):
     jax.jit, static_argnames=("n_steps", "ploidy", "interpret")
 )
 def pallas_calling_sampler(seed, read_hap, read_counts, *, n_steps, ploidy,
-                           interpret=False):
+                           n_valid=None, interpret=False):
     """Run the VMEM-resident Gibbs sampler for many chains.
 
     Parameters
@@ -129,6 +131,9 @@ def pallas_calling_sampler(seed, read_hap, read_counts, *, n_steps, ploidy,
         (n_chains must be a multiple of 128)
     read_counts : f32[R, n_chains]
     n_steps, ploidy : static
+    n_valid : i32[n_chains] or None — per-chain count of real alleles;
+        columns >= n_valid[c] of chain c's panel are cross-locus batch
+        padding, masked out of every draw (defaults to H for all chains)
 
     Returns
     -------
@@ -144,7 +149,10 @@ def pallas_calling_sampler(seed, read_hap, read_counts, *, n_steps, ploidy,
     if n_alleles != n_real:
         pad = jnp.full((n_reads, n_alleles - n_real, n_chains), 0.0, read_hap.dtype)
         read_hap = jnp.concatenate([read_hap, pad], axis=1)
-    kernel = _make_kernel(n_steps, ploidy, n_reads, n_alleles, n_real)
+    if n_valid is None:
+        n_valid = jnp.full((n_chains,), n_real)
+    n_valid = jnp.asarray(n_valid, jnp.int32).reshape(1, n_chains)
+    kernel = _make_kernel(n_steps, ploidy, n_reads, n_alleles)
     out_shapes = (
         jax.ShapeDtypeStruct((n_steps, n_alleles, n_chains), jnp.float32),
         jax.ShapeDtypeStruct((n_steps, 1, n_chains), jnp.float32),
@@ -159,6 +167,9 @@ def pallas_calling_sampler(seed, read_hap, read_counts, *, n_steps, ploidy,
             ),
             pl.BlockSpec(
                 (n_reads, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM
             ),
         ]
     out_specs = (
@@ -187,7 +198,12 @@ def pallas_calling_sampler(seed, read_hap, read_counts, *, n_steps, ploidy,
                 pltpu.VMEM((ploidy, n_reads, LANES), jnp.float32),
             ],
             interpret=interp,
-        )(jnp.asarray(seed, jnp.int32).reshape(1), read_hap, read_counts)
+        )(
+            jnp.asarray(seed, jnp.int32).reshape(1),
+            read_hap,
+            read_counts,
+            n_valid,
+        )
     # decode dosage counts -> sorted allele indices (slot j holds the
     # smallest allele whose cumulative dosage exceeds j)
     dosage = genotypes.astype(jnp.int32)

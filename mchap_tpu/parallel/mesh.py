@@ -10,12 +10,12 @@ population reductions that the reference computes in the parent process
 baseclass.py:245-301) become ``psum`` collectives over ICI.
 """
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from mchap_tpu.ops import calling_mcmc as _kernel
 

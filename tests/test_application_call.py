@@ -111,3 +111,43 @@ def test_call_header_matches_golden():
             assert exp.startswith(act.split("=")[0])
         else:
             assert act == exp
+
+
+def test_call_locus_batching_matches_per_locus(monkeypatch):
+    """MCHAP_LOCUS_BATCH>1 batches (locus, sample) problems across loci
+    into one device program per block; decisions must match the
+    per-locus path (padding columns are -inf so unsampleable)."""
+    command = (
+        ["mchap", "call", "--bam"]
+        + [data_path(b) for b in
+           ("simple.sample1.bam", "simple.sample2.bam", "simple.sample3.bam")]
+        + ["--ploidy", "4", "--haplotypes", data_path("simple.output.assemble.vcf")]
+        + ["--mcmc-seed", "11", "--mcmc-steps", "500", "--mcmc-burn", "100"]
+    )
+    monkeypatch.delenv("MCHAP_LOCUS_BATCH", raising=False)
+    base = run_stdout_lines(program.cli(command))
+    monkeypatch.setenv("MCHAP_LOCUS_BATCH", "3")
+    blocked = run_stdout_lines(program.cli(command))
+
+    _, base_records = _split_records(base)
+    _, blocked_records = _split_records(blocked)
+    assert len(blocked_records) == len(base_records)
+    for rec, want in zip(blocked_records, base_records):
+        assert rec[:7] == want[:7]  # CHROM..FILTER identical
+        assert _gt_calls([rec]) == _gt_calls([want])
+        info = dict(kv.split("=") for kv in rec[7].split(";") if "=" in kv)
+        want_info = dict(kv.split("=") for kv in want[7].split(";") if "=" in kv)
+        for key in ("AN", "UAN", "AC", "NS", "DP", "RCOUNT"):
+            assert info.get(key) == want_info.get(key), key
+        fmt_keys = rec[8].split(":")
+        for cell, want_cell in zip(rec[9:], want[9:]):
+            got_vals = dict(zip(fmt_keys, cell.split(":")))
+            want_vals = dict(zip(fmt_keys, want_cell.split(":")))
+            for key in ("GPM", "SPM"):
+                g, w = got_vals[key], want_vals[key]
+                if g == "." or w == ".":
+                    assert g == w
+                else:
+                    assert abs(float(g) - float(w)) < 0.1, (key, g, w)
+            for key in ("DP", "RCOUNT", "RCALLS", "MEC"):
+                assert got_vals[key] == want_vals[key], key

@@ -138,3 +138,64 @@ def test_greedy_caller_initialises_well():
     rh = read_hap_loglik(prepare_reads(reads), jnp.asarray(HAPLOTYPES))
     got = np.asarray(greedy_caller(rh, jnp.ones(len(reads)), ploidy=4))
     np.testing.assert_array_equal(np.sort(got), truth)
+
+
+def test_fit_calling_multi_heterogeneous_panels():
+    """Cross-locus batching: problems with different panel sizes and read
+    depths padded into one device program must each recover the exact
+    posterior computed on their OWN panel."""
+    from mchap_tpu.models.calling import fit_calling_multi
+
+    panel_a = HAPLOTYPES  # 4 haplotypes x 4 pos
+    panel_b = np.array([[0, 0], [1, 1]], dtype=np.int8)  # 2 haplotypes x 2 pos
+    reads_a = simulate_reads(
+        panel_a[[0, 0, 1, 3]], n_alleles=2, n_reads=12, qual=(30, 40), seed=5
+    )
+    reads_b = simulate_reads(
+        panel_b[[0, 1, 1, 1]], n_alleles=2, n_reads=5, qual=(30, 40), seed=6
+    )
+    problems = [
+        dict(reads=reads_a, counts=np.ones(len(reads_a)), haplotypes=panel_a),
+        dict(reads=reads_b, counts=np.ones(len(reads_b)), haplotypes=panel_b),
+    ]
+    traces = fit_calling_multi(problems, ploidy=4, steps=3000, chains=2,
+                               random_seed=3)
+    assert traces[0].n_allele == 4
+    assert traces[1].n_allele == 2
+    for trace, reads, panel in zip(traces, (reads_a, reads_b), (panel_a, panel_b)):
+        t = trace.burn(500)
+        # padded -inf alleles must never be sampled
+        assert t.genotypes.max() < len(panel)
+        got = trace_posterior_array(t, len(panel))
+        llks = exact.genotype_likelihoods(reads, 4, panel)
+        want = np.asarray(exact.genotype_posteriors(llks, 4, len(panel)))
+        np.testing.assert_allclose(got, want, atol=0.06)
+
+
+def test_fit_calling_multi_with_priors():
+    """Per-problem inbreeding/frequency priors flow through the batched
+    path and match the exact Dirichlet-multinomial posterior."""
+    from mchap_tpu.models.calling import fit_calling_multi
+
+    truth = np.array([0, 1, 1, 3])
+    reads = simulate_reads(
+        HAPLOTYPES[truth], n_alleles=2, n_reads=8, qual=(20, 30), seed=9
+    )
+    freqs = np.array([0.4, 0.3, 0.2, 0.1])
+    problems = [
+        dict(
+            reads=reads,
+            counts=np.ones(len(reads)),
+            haplotypes=HAPLOTYPES,
+            inbreeding=0.1,
+            frequencies=freqs,
+        )
+    ]
+    traces = fit_calling_multi(problems, ploidy=4, steps=4000, chains=2,
+                               random_seed=1)
+    got = trace_posterior_array(traces[0].burn(500), len(HAPLOTYPES))
+    llks = exact.genotype_likelihoods(reads, 4, HAPLOTYPES)
+    want = np.asarray(
+        exact.genotype_posteriors(llks, 4, len(HAPLOTYPES), prior=(0.1, freqs))
+    )
+    np.testing.assert_allclose(got, want, atol=0.06)

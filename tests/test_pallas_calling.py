@@ -66,3 +66,24 @@ def test_interpret_mode_allele_padding_masked():
         jnp.int32(1), rh_b, counts, n_steps=6, ploidy=4, interpret=True
     )
     assert int(np.asarray(g).max()) < 3
+
+
+def test_interpret_mode_per_lane_n_valid():
+    """Cross-locus batching: each lane carries its own real-allele count;
+    lanes restricted to a 2-allele sub-panel must never pick allele >= 2
+    while full-panel lanes may."""
+    truth = HAPS[[1, 1, 3, 3]]
+    reads = simulate_reads(truth, n_alleles=2, n_reads=30, errors=False, seed=7)
+    rh = read_hap_loglik(prepare_reads(reads, jnp.float32), jnp.asarray(HAPS))
+    rh_b = _chain_last(rh, 128)
+    counts = jnp.ones((rh.shape[0], 128), jnp.float32)
+    n_valid = np.full(128, 4, np.int32)
+    n_valid[64:] = 2  # second half: only alleles {0, 1} are real
+    g, _ = pallas_calling_sampler(
+        jnp.int32(9), rh_b, counts, n_steps=6, ploidy=4,
+        n_valid=jnp.asarray(n_valid), interpret=True
+    )
+    g = np.asarray(g)
+    assert int(g[:, :, 64:].max()) < 2
+    # full-panel lanes still reach the true MAP which uses allele 3
+    assert int(g[-1, :, :64].max()) == 3
