@@ -319,31 +319,129 @@ def _parse_sam_line(line, default_qual=0):
     return AlignedRead(qname, flag, rname, pos, mapq, cigar, seq, quals, tags)
 
 
-class AlignmentFile:
-    """BAM or SAM reader with pysam-like surface.
+def _native_header_text(lib, handle):
+    import ctypes
 
-    CRAM requires the full htslib codec stack and is not supported by
-    this standalone reader; a clear error names the limitation.
+    return ctypes.cast(lib.bam_header_text(handle), ctypes.c_char_p).value.decode()
+
+
+def _wrap_native_records(lib, handle, refs):
+    """Wrap a native decoder handle's columnar arrays into AlignedRead
+    buckets keyed by contig (shared by the BAM and CRAM loaders)."""
+    import ctypes
+
+    n = lib.bam_n_records(handle)
+
+    def ints(fn, count):
+        return np.ctypeslib.as_array(fn(handle), shape=(count,)).copy()
+
+    refid = ints(lib.bam_refid, n)
+    pos = ints(lib.bam_pos, n)
+    mapq = ints(lib.bam_mapq, n)
+    flag = ints(lib.bam_flag, n)
+    qname_off = np.ctypeslib.as_array(
+        lib.bam_qname_off(handle), shape=(n + 1,)
+    ).copy()
+    cigar_off = np.ctypeslib.as_array(
+        lib.bam_cigar_off(handle), shape=(n + 1,)
+    ).copy()
+    seq_off = np.ctypeslib.as_array(lib.bam_seq_off(handle), shape=(n + 1,)).copy()
+    aux_off = np.ctypeslib.as_array(lib.bam_aux_off(handle), shape=(n + 1,)).copy()
+    qname_blob = ctypes.string_at(lib.bam_qname_blob(handle), int(qname_off[-1]))
+    seq_blob = ctypes.string_at(lib.bam_seq_blob(handle), int(seq_off[-1]))
+    qual_blob = np.frombuffer(
+        ctypes.string_at(lib.bam_qual_blob(handle), int(seq_off[-1])),
+        dtype=np.uint8,
+    ).astype(np.int16)
+    aux_blob = ctypes.string_at(lib.bam_aux_blob(handle), int(aux_off[-1]))
+    cigar_blob = np.ctypeslib.as_array(
+        lib.bam_cigar_blob(handle), shape=(int(cigar_off[-1]),)
+    ).copy()
+
+    lens = cigar_blob >> 4
+    ops = cigar_blob & 0xF
+    buckets = {}
+    for i in range(n):
+        qname = qname_blob[qname_off[i] : qname_off[i + 1]].decode()
+        cigar = [
+            (_CIGAR_OPS[ops[c]], int(lens[c]))
+            for c in range(cigar_off[i], cigar_off[i + 1])
+        ]
+        seq = seq_blob[seq_off[i] : seq_off[i + 1]].decode()
+        quals = qual_blob[seq_off[i] : seq_off[i + 1]]
+        tags = _parse_aux(aux_blob, int(aux_off[i]), int(aux_off[i + 1]))
+        rid = refid[i]
+        refname = refs[rid][0] if 0 <= rid < len(refs) else None
+        read = AlignedRead(
+            qname, int(flag[i]), refname, int(pos[i]), int(mapq[i]),
+            cigar, seq, quals, tags,
+        )
+        buckets.setdefault(refname, []).append(read)
+    for reads in buckets.values():
+        reads.sort(key=lambda r: r.pos)
+    return buckets
+
+
+class AlignmentFile:
+    """BAM, CRAM or SAM reader with pysam-like surface.
+
+    CRAM decoding runs through the native C++ decoder
+    (native/cramreader.cpp); mapped CRAM records need the reference
+    FASTA, passed as ``reference_filename`` (same convention as pysam,
+    reference io/bam.py:41).
     """
 
     def __init__(self, path, reference_filename=None):
         self.filename = str(path).encode()
         self._path = str(path)
+        self._reference_filename = reference_filename
         self._records_by_contig = None
         with open(self._path, "rb") as f:
             magic = f.read(4)
         if magic[:2] == b"\x1f\x8b":
             self._format = "BAM"
         elif magic == b"CRAM":
-            raise NotImplementedError(
-                "CRAM decoding is not supported by the standalone reader; "
-                "convert to BAM (samtools view -b) or use BAM inputs"
-            )
+            self._format = "CRAM"
         else:
             self._format = "SAM"
         self._load_header()
 
+    def _load_cram(self):
+        """Decode the whole CRAM through the native library (header and
+        records together; CRAM containers interleave both)."""
+        from mchap_tpu.native import load_library
+
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError(
+                "CRAM decoding requires the native decoder "
+                "(g++ toolchain unavailable)"
+            )
+        ref = self._reference_filename
+        handle = lib.cram_load(
+            self._path.encode(), (str(ref) if ref else "").encode()
+        )
+        if not handle:
+            raise ValueError(
+                f"CRAM decode failed for {self._path}: "
+                f"{lib.bam_error().decode()}"
+            )
+        try:
+            text = _native_header_text(lib, handle)
+            self._header_text = text
+            header, sam_refs = _parse_sam_header_text(text)
+            self.header = header
+            self._refs = sam_refs
+            self._records_by_contig = _wrap_native_records(
+                lib, handle, self._refs
+            )
+        finally:
+            lib.bam_free(handle)
+
     def _load_header(self):
+        if self._format == "CRAM":
+            self._load_cram()
+            return
         if self._format == "BAM":
             with gzip.open(self._path, "rb") as f:
                 magic = f.read(4)
@@ -390,6 +488,9 @@ class AlignmentFile:
     def _load_records(self):
         if self._records_by_contig is not None:
             return
+        if self._format == "CRAM":
+            self._load_cram()
+            return
         if self._format == "BAM" and self._load_records_native():
             return
         buckets = {}
@@ -422,8 +523,6 @@ class AlignmentFile:
         Returns True on success; False falls back to the pure-Python
         decoder (no toolchain, or decode error).
         """
-        import ctypes
-
         try:
             from mchap_tpu.native import load_library
         except Exception:
@@ -435,63 +534,11 @@ class AlignmentFile:
         if not handle:
             return False
         try:
-            n = lib.bam_n_records(handle)
-
-            def ints(fn, count):
-                return np.ctypeslib.as_array(fn(handle), shape=(count,)).copy()
-
-            refid = ints(lib.bam_refid, n)
-            pos = ints(lib.bam_pos, n)
-            mapq = ints(lib.bam_mapq, n)
-            flag = ints(lib.bam_flag, n)
-            qname_off = np.ctypeslib.as_array(
-                lib.bam_qname_off(handle), shape=(n + 1,)
-            ).copy()
-            cigar_off = np.ctypeslib.as_array(
-                lib.bam_cigar_off(handle), shape=(n + 1,)
-            ).copy()
-            seq_off = np.ctypeslib.as_array(
-                lib.bam_seq_off(handle), shape=(n + 1,)
-            ).copy()
-            aux_off = np.ctypeslib.as_array(
-                lib.bam_aux_off(handle), shape=(n + 1,)
-            ).copy()
-            qname_blob = ctypes.string_at(lib.bam_qname_blob(handle), int(qname_off[-1]))
-            seq_blob = ctypes.string_at(lib.bam_seq_blob(handle), int(seq_off[-1]))
-            qual_blob = np.frombuffer(
-                ctypes.string_at(lib.bam_qual_blob(handle), int(seq_off[-1])),
-                dtype=np.uint8,
-            ).astype(np.int16)
-            aux_blob = ctypes.string_at(lib.bam_aux_blob(handle), int(aux_off[-1]))
-            cigar_blob = np.ctypeslib.as_array(
-                lib.bam_cigar_blob(handle), shape=(int(cigar_off[-1]),)
-            ).copy()
+            self._records_by_contig = _wrap_native_records(
+                lib, handle, self._refs
+            )
         finally:
             lib.bam_free(handle)
-
-        lens = cigar_blob >> 4
-        ops = cigar_blob & 0xF
-        buckets = {}
-        refs = self._refs
-        for i in range(n):
-            qname = qname_blob[qname_off[i] : qname_off[i + 1]].decode()
-            cigar = [
-                (_CIGAR_OPS[ops[c]], int(lens[c]))
-                for c in range(cigar_off[i], cigar_off[i + 1])
-            ]
-            seq = seq_blob[seq_off[i] : seq_off[i + 1]].decode()
-            quals = qual_blob[seq_off[i] : seq_off[i + 1]]
-            tags = _parse_aux(aux_blob, int(aux_off[i]), int(aux_off[i + 1]))
-            rid = refid[i]
-            refname = refs[rid][0] if 0 <= rid < len(refs) else None
-            read = AlignedRead(
-                qname, int(flag[i]), refname, int(pos[i]), int(mapq[i]),
-                cigar, seq, quals, tags,
-            )
-            buckets.setdefault(refname, []).append(read)
-        for reads in buckets.values():
-            reads.sort(key=lambda r: r.pos)
-        self._records_by_contig = buckets
         return True
 
     def fetch(self, contig=None, start=None, stop=None):

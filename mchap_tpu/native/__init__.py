@@ -1,8 +1,11 @@
 """Native (C++) host-side components, loaded via ctypes.
 
-``libbamreader``: BGZF + BAM decoder (bamreader.cpp).  Built on demand
-with g++ (cached next to the source); the pure-Python reader remains
-the fallback when no toolchain is available.
+``libbamreader``: BGZF + BAM decoder (bamreader.cpp) and CRAM 3.0
+decoder (cramreader.cpp) sharing one columnar record layout
+(records.h).  Built on demand with g++ (cached next to the source);
+the pure-Python BAM reader remains the fallback when no toolchain is
+available (CRAM has no Python fallback — it requires the native
+library).
 """
 
 import ctypes
@@ -10,7 +13,11 @@ import os
 import subprocess
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "bamreader.cpp")
+_SRCS = [
+    os.path.join(_DIR, "bamreader.cpp"),
+    os.path.join(_DIR, "cramreader.cpp"),
+]
+_HDRS = [os.path.join(_DIR, "records.h")]
 _LIB = os.path.join(_DIR, "libbamreader.so")
 
 _lib = None
@@ -20,7 +27,7 @@ _tried = False
 def _build():
     cmd = [
         "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _LIB, "-lz",
+        *_SRCS, "-o", _LIB, "-lz",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -37,9 +44,8 @@ def load_library():
         return None
     _tried = True
     try:
-        if (not os.path.exists(_LIB)) or (
-            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
-        ):
+        src_mtime = max(os.path.getmtime(s) for s in _SRCS + _HDRS)
+        if (not os.path.exists(_LIB)) or (os.path.getmtime(_LIB) < src_mtime):
             _build()
         lib = ctypes.CDLL(_LIB)
     except Exception:
@@ -48,6 +54,8 @@ def load_library():
     c_void_p = ctypes.c_void_p
     lib.bam_load.restype = c_void_p
     lib.bam_load.argtypes = [c_char_p]
+    lib.cram_load.restype = c_void_p
+    lib.cram_load.argtypes = [c_char_p, c_char_p]
     lib.bam_error.restype = c_char_p
     lib.bam_free.argtypes = [c_void_p]
     lib.bam_n_records.restype = ctypes.c_int64

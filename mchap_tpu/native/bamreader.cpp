@@ -28,25 +28,13 @@
 #include <string>
 #include <vector>
 
+#include "records.h"
+
+thread_local std::string g_bam_error;
+
 namespace {
 
-struct BamData {
-    std::string header_text;
-    std::vector<std::string> ref_names;
-    std::vector<int32_t> ref_lengths;
-    // columnar record data
-    std::vector<int32_t> refid, pos;
-    std::vector<int32_t> mapq, flag, lseq, ncigar;
-    std::vector<int64_t> qname_off, cigar_off, seq_off, aux_off;
-    std::string qname_blob;
-    std::vector<uint32_t> cigar_blob;
-    std::string seq_blob;
-    std::string qual_blob;
-    std::string aux_blob;
-    std::string ref_name_blob;  // newline separated, for the accessor
-};
-
-thread_local std::string g_error;
+std::string& g_error = g_bam_error;
 
 const char SEQ_CODES[17] = "=ACMGRSVTWYHKDBN";
 

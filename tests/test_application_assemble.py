@@ -16,6 +16,15 @@ from tests.golden import data_path, run_stdout_lines
             "simple.output.assemble.vcf",
         ),
         (
+            [
+                "simple.sample1.broken.cram",
+                "simple.sample2.broken.cram",
+                "simple.sample3.broken.cram",
+            ],
+            [],
+            "simple.output.assemble.vcf",  # identical results from bam/cram
+        ),
+        (
             ["simple.sample1.bam", "simple.sample2.deep.bam", "simple.sample3.bam"],
             [],
             "simple.output.mixed_depth.assemble.vcf",

@@ -35,6 +35,16 @@ def _gt_calls(records):
         (
             "simple.output.assemble.vcf",
             [
+                "simple.sample1.broken.cram",
+                "simple.sample2.broken.cram",
+                "simple.sample3.broken.cram",
+            ],
+            ["--reference", data_path("simple.fasta")],
+            "simple.output.call.vcf",  # identical results from bam/cram
+        ),
+        (
+            "simple.output.assemble.vcf",
+            [
                 "simple.sample1.deep.bam",
                 "simple.sample2.deep.bam",
                 "simple.sample3.deep.bam",

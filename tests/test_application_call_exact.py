@@ -1,8 +1,8 @@
 """Golden-file tests for ``mchap call-exact`` (deterministic: exact
 byte equality with the reference's checked-in outputs).
 
-Same parametrization as reference test_application_call_exact.py minus
-the CRAM inputs (unsupported by the standalone reader).
+Same parametrization as reference test_application_call_exact.py,
+including the CRAM inputs (decoded by the native cramreader).
 """
 
 import pytest
@@ -19,6 +19,16 @@ from tests.golden import assert_vcf_equal, data_path, run_stdout_lines
             ["simple.sample1.bam", "simple.sample2.bam", "simple.sample3.bam"],
             [],
             "simple.output.call-exact.vcf",
+        ),
+        (
+            "simple.output.assemble.vcf",
+            [
+                "simple.sample1.broken.cram",
+                "simple.sample2.broken.cram",
+                "simple.sample3.broken.cram",
+            ],
+            ["--reference", data_path("simple.fasta")],
+            "simple.output.call-exact.vcf",  # identical results from bam/cram
         ),
         (
             "simple.output.mixed_depth.assemble.vcf",

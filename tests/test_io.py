@@ -132,9 +132,34 @@ def test_bam_sam_equivalence(fixture_data_dir):
             np.testing.assert_array_equal(got_bam[key][1], got_sam[key][1])
 
 
-def test_cram_is_rejected_clearly(fixture_data_dir):
-    with pytest.raises(NotImplementedError, match="CRAM"):
-        AlignmentFile(str(fixture_data_dir / "simple.sample1.broken.cram"))
+def test_cram_decodes_identically_to_bam(fixture_data_dir):
+    """The native CRAM 3.0 decoder must reproduce the matching BAM's
+    records exactly (qname/flag/pos/mapq/cigar/seq/quals and the RG/MD
+    tags used downstream); reference parity: pysam/htslib decode both
+    to the same records (reference test_application_*:identical
+    bam/cram golden rows)."""
+    for sample in (1, 2, 3):
+        bam = AlignmentFile(str(fixture_data_dir / f"simple.sample{sample}.bam"))
+        cram = AlignmentFile(
+            str(fixture_data_dir / f"simple.sample{sample}.broken.cram"),
+            reference_filename=str(fixture_data_dir / "simple.fasta"),
+        )
+        assert [rg["ID"] for rg in bam.header["RG"]] == [
+            rg["ID"] for rg in cram.header["RG"]
+        ]
+        reads_b = sorted(bam.fetch(), key=lambda r: (r.qname, r.flag, r.pos))
+        reads_c = sorted(cram.fetch(), key=lambda r: (r.qname, r.flag, r.pos))
+        assert len(reads_b) == len(reads_c) > 0
+        for b, c in zip(reads_b, reads_c):
+            assert (b.qname, b.flag, b.reference_name, b.pos) == (
+                c.qname, c.flag, c.reference_name, c.pos
+            )
+            assert b.mapping_quality == c.mapping_quality
+            assert b.cigar == c.cigar
+            assert b.seq == c.seq
+            assert list(b.quals) == list(c.quals)
+            assert b.get_tag("RG") == c.get_tag("RG")
+            assert b.get_tag("MD") == c.get_tag("MD")
 
 
 def test_encode_reads_roundtrip(fixture_data_dir):
