@@ -141,7 +141,12 @@ def _make_kernel(ploidy, n_base, n_alleles, n_reads):
                 g_s[h, j, :, :] = new_oh
                 rh_s[h, :, :] = base + lr_new
                 llk_new = jnp.sum(llks * new_oh, axis=0)
-                return jnp.where(moved, llk_new, llk)
+                # NOT jnp.where(moved, llk_new, llk): a select whose
+                # fallback is the loop carry crashes the Mosaic layout
+                # pass (layout.h Check arr.size() >= layout_rank, rank-1
+                # carry inferred an implicit 2-D layout); the additive
+                # form below is identical and compiles.
+                return llk + jnp.where(moved, llk_new - llk, 0.0)
 
             llk = jax.lax.fori_loop(
                 jnp.int32(0), jnp.int32(NB), site_body, llk, unroll=False
