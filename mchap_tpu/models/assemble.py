@@ -174,6 +174,69 @@ class DenovoMCMC:
         return GenotypeMultiTrace(np.asarray(genotypes), np.asarray(llks))
 
 
+def _fit_denovo_batch_pallas(
+    log_reads, counts, init, n_alleles_eff, break_dist, ploidy, steps,
+    chains, seed, p_recomb, p_partial, p_full, interpret=False,
+):
+    """Run all samples x chains through the full-step pallas kernel.
+
+    Layout: one 128-wide lane per chain (per-sample reads / allele
+    counts / breakpoint rates replicated across that sample's chains;
+    dummy zero-count lanes pad to a multiple of 128).  Differences vs
+    the XLA path — systematic site order, Bernoulli interval partitions
+    capped at NB//2+1 segments — are valid sampler choices covered by
+    the exact-posterior gate (scripts/gate_pallas_denovo.py).
+    """
+    from mchap_tpu.ops.pallas_denovo import pallas_denovo_sampler
+
+    n_samples, n_reads, n_pos, max_allele = log_reads.shape
+    b = n_samples * chains
+    b_pad = ((b + 127) // 128) * 128
+    lr_cl = jnp.repeat(
+        jnp.transpose(jnp.asarray(log_reads, jnp.float32), (1, 2, 3, 0)),
+        chains, axis=3,
+    )  # [R, NB, A, S*chains]
+    counts_cl = jnp.repeat(
+        jnp.transpose(jnp.asarray(counts, jnp.float32), (1, 0)), chains,
+        axis=1,
+    )
+    init_cl = jnp.transpose(
+        jnp.asarray(init, jnp.int32), (2, 3, 0, 1)
+    ).reshape(ploidy, n_pos, b)  # [P, NB, S*chains]
+    nall_cl = np.repeat(
+        np.asarray(n_alleles_eff, np.int32).T, chains, axis=1
+    )  # [NB, S*chains]
+    # per-lane Bernoulli breakpoint rate matching the reference's
+    # expected break count E[n_breaks] (discretized Beta; mcmc.py:429-452)
+    mean_breaks = (np.asarray(break_dist) * np.arange(n_pos)[None, :]).sum(-1)
+    pbreak = np.repeat(
+        (mean_breaks / max(n_pos - 1, 1)).astype(np.float32), chains
+    )[None, :]  # [1, S*chains]
+    if b_pad != b:
+        lr_cl = jnp.pad(lr_cl, ((0, 0),) * 3 + ((0, b_pad - b),))
+        counts_cl = jnp.pad(counts_cl, ((0, 0), (0, b_pad - b)))
+        init_cl = jnp.pad(init_cl, ((0, 0), (0, 0), (0, b_pad - b)))
+        nall_cl = np.pad(
+            nall_cl, ((0, 0), (0, b_pad - b)), constant_values=1
+        )
+        pbreak = np.pad(pbreak, ((0, 0), (0, b_pad - b)))
+    genotypes, llks = pallas_denovo_sampler(
+        jnp.int32(seed), lr_cl, counts_cl, init_cl,
+        jnp.asarray(nall_cl), jnp.asarray(pbreak),
+        n_steps=steps, ploidy=ploidy, p_recomb=p_recomb,
+        p_partial=p_partial, p_full=p_full, interpret=interpret,
+    )
+    genotypes = np.asarray(genotypes)[..., :b]  # [steps, P, NB, S*chains]
+    llks = np.asarray(llks)[:, :b]
+    genotypes = genotypes.reshape(steps, ploidy, n_pos, n_samples, chains)
+    genotypes = genotypes.transpose(3, 4, 0, 1, 2)  # [S, chains, steps, P, NB]
+    llks = llks.reshape(steps, n_samples, chains).transpose(1, 2, 0)
+    return [
+        GenotypeMultiTrace(genotypes[i], llks[i].astype(float))
+        for i in range(n_samples)
+    ]
+
+
 def fit_denovo_batch(
     ploidy,
     n_alleles,
@@ -276,6 +339,48 @@ def fit_denovo_batch(
         )
 
     log_reads = prepare_reads(reads)  # [S, R, nb, A]
+
+    # fast path: the VMEM-resident full-step pallas kernel covers the
+    # default configuration (flat prior, single temperature) on TPU
+    n_reads_b = reads.shape[1]
+    max_allele = reads.shape[-1]
+    vmem_est = 512 * (
+        3 * n_reads_b * n_pos * max_allele
+        + 2 * ploidy * n_pos * max_allele
+        + 2 * ploidy * n_reads_b
+        + 2 * n_reads_b
+        + 4 * n_pos
+    )
+    base_pack = 1
+    while base_pack < max(max_allele, 2):
+        base_pack *= 2
+    if (
+        not use_prior
+        and len(temps) == 1
+        and jax.default_backend() not in ("cpu",)
+        and vmem_est < 10 * 1024 * 1024
+        and float(base_pack) ** ploidy <= 2.0 ** 24
+    ):
+        try:
+            traces = _fit_denovo_batch_pallas(
+                np.asarray(prepare_reads(reads, dtype=jnp.float32)),
+                counts, init, n_alleles_eff, break_dist, ploidy, steps,
+                chains, seed, recombination_step_probability,
+                partial_dosage_step_probability, dosage_step_probability,
+            )
+            out = []
+            for i in range(n_samples):
+                if homozygous[i].all():
+                    haplotype = fixed_allele[i].astype(np.int8)
+                    g = np.tile(haplotype, (chains, steps, ploidy, 1))
+                    out.append(
+                        GenotypeMultiTrace(g, np.full((chains, steps), np.nan))
+                    )
+                else:
+                    out.append(traces[i])
+            return out
+        except Exception:
+            pass  # fall through to the XLA path
 
     def one(key, init_i, lr, c, na, bd, ib):
         return _kernel.denovo_sampler(

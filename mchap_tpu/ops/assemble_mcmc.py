@@ -269,7 +269,14 @@ def mutation_sweep(
             lprior_ratio = jnp.zeros(max_allele)
 
         mh = (llks_a - llk + lprior_ratio) * temp + lproposal
-        valid = (arange_a < n_alleles_arr[j]) & (arange_a != cur)
+        # n_alleles == 1 marks a homozygote-fixed position: no proposals
+        # at all (not even allele 0 when the fixed allele is non-zero,
+        # which would be an irreversible move; mcmc.py:168-199)
+        valid = (
+            (arange_a < n_alleles_arr[j])
+            & (arange_a != cur)
+            & (n_alleles_arr[j] > 1)
+        )
         n_options = jnp.sum(valid)
         log_accept = jnp.where(valid, jnp.minimum(0.0, mh), _NEG) - jnp.log(
             jnp.maximum(n_options, 1).astype(rh.dtype)

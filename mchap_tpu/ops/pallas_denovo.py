@@ -376,7 +376,12 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
                 mh = (llks - llk[None, :]) + lproposal
                 a_iota = jax.lax.broadcasted_iota(jnp.int32, (A, LANES), 0)
                 nall_j = nall_ref[j, :]  # [LANES] per-lane allele count
-                valid = (a_iota < nall_j[None, :]) & (cur_oh < 0.5)
+                # nall == 1 -> homozygote-fixed position: provably no-op
+                valid = (
+                    (a_iota < nall_j[None, :])
+                    & (cur_oh < 0.5)
+                    & (nall_j[None, :] > 1)
+                )
                 n_opt = jnp.sum(valid.astype(jnp.float32), axis=0)
                 log_accept = jnp.where(
                     valid, jnp.minimum(0.0, mh), jnp.float32(-1e30)
