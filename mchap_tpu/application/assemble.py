@@ -4,6 +4,7 @@ Reference: mchap/application/assemble.py.
 """
 
 import argparse
+import os
 import sys
 from dataclasses import dataclass
 
@@ -18,8 +19,10 @@ from mchap_tpu.application.arguments import (
 from mchap_tpu.application.baseclass import (
     ALT,
     FILTER,
+    LOCUS_ASSEMBLY_ERROR,
     REF,
     SAMPLE_ASSEMBLY_ERROR,
+    LocusAssemblyError,
     SampleAssemblyError,
 )
 from mchap_tpu.encoding.integer import minimum_error_correction
@@ -32,6 +35,7 @@ from mchap_tpu.models.assemble import (
     DenovoMCMC,
     call_posterior_haplotypes,
     fit_denovo_batch,
+    fit_denovo_multi,
 )
 from mchap_tpu.numerics.combinadics import (
     count_unique_genotypes,
@@ -112,10 +116,12 @@ class program(baseclass.program):
             .burn(self.mcmc_burn)
         )
 
-    def call_sample_genotypes(self, data):
+    def call_sample_genotypes(self, data, traces=None):
         """Per-sample de novo assembly + population allele pooling.
 
-        Reference: application/assemble.py:95-252.
+        Reference: application/assemble.py:95-252.  ``traces`` may carry
+        precomputed (unburnt) traces per sample from cross-locus device
+        batching (``_call_locus_block``).
         """
         sample_modes = {}
         sample_posteriors = {}
@@ -124,8 +130,8 @@ class program(baseclass.program):
         # and tempering ladders agree (the common case)
         ploidies = [data.sample_ploidy[s] for s in data.samples]
         ladders = [tuple(self.sample_mcmc_temperatures[s]) for s in data.samples]
-        batch_traces = {}
-        if len(data.samples) > 1 and len(set(ploidies)) == 1 and len(set(ladders)) == 1:
+        batch_traces = dict(traces) if traces else {}
+        if not batch_traces and len(data.samples) > 1 and len(set(ploidies)) == 1 and len(set(ladders)) == 1:
             traces = fit_denovo_batch(
                 ploidy=ploidies[0],
                 n_alleles=data.locus.count_alleles(),
@@ -250,6 +256,115 @@ class program(baseclass.program):
                 message = SAMPLE_ASSEMBLY_ERROR.format(sample=sample)
                 raise SampleAssemblyError(message) from e
         return data
+
+    def _call_locus_block(self, loci):
+        """Assemble a block of loci with ONE device program per
+        (ploidy, tempering-ladder) group.
+
+        Cross-locus streaming: every (locus, sample) assembly problem in
+        the block is padded into a single batched sampler launch
+        (models/assemble.py ``fit_denovo_multi``), filling the pallas
+        kernel's 128-wide chain tiles across loci.  The reference
+        parallelises the same axis with one forked process per locus
+        (baseclass.py:360-394).  Returns formatted VCF lines in input
+        order.
+        """
+        prepared = []
+        for locus in loci:
+            try:
+                data = self._locus_data(locus, self.sample_bams)
+                self.encode_sample_reads(data)
+            except Exception as e:
+                message = LOCUS_ASSEMBLY_ERROR.format(
+                    name=locus.name,
+                    contig=locus.contig,
+                    start=locus.start,
+                    stop=locus.stop,
+                )
+                raise LocusAssemblyError(message) from e
+            prepared.append((locus, data))
+
+        groups = {}
+        for idx, (locus, data) in enumerate(prepared):
+            n_alleles = locus.count_alleles()
+            if len(n_alleles) == 0:
+                continue  # zero-variant shortcut handled per locus
+            for sample in data.samples:
+                problem = dict(
+                    reads=data.read_dists[sample],
+                    counts=data.read_counts[sample],
+                    n_alleles=n_alleles,
+                )
+                if data.sample_inbreeding is not None:
+                    problem["inbreeding"] = data.sample_inbreeding[sample]
+                key = (
+                    data.sample_ploidy[sample],
+                    tuple(self.sample_mcmc_temperatures[sample]),
+                )
+                groups.setdefault(key, []).append((idx, sample, problem))
+
+        traces = {}
+        for (ploidy, ladder), items in groups.items():
+            try:
+                fitted = fit_denovo_multi(
+                    [p for _, _, p in items],
+                    ploidy,
+                    steps=self.mcmc_steps,
+                    chains=self.mcmc_chains,
+                    alpha=self.mcmc_alpha,
+                    beta=self.mcmc_beta,
+                    fix_homozygous=self.mcmc_fix_homozygous,
+                    recombination_step_probability=self.mcmc_recombination_step_probability,
+                    partial_dosage_step_probability=self.mcmc_partial_dosage_step_probability,
+                    dosage_step_probability=self.mcmc_dosage_step_probability,
+                    temperatures=ladder,
+                    random_seed=self.random_seed,
+                )
+            except Exception:
+                continue  # per-sample fallback inside call_sample_genotypes
+            for (idx, sample, _), t in zip(items, fitted):
+                traces[(idx, sample)] = t
+
+        results = []
+        for idx, (locus, data) in enumerate(prepared):
+            try:
+                locus_traces = {
+                    sample: traces[(idx, sample)]
+                    for sample in data.samples
+                    if (idx, sample) in traces
+                }
+                self.call_sample_genotypes(data, traces=locus_traces or None)
+                self.sumarise_vcf_record(data)
+                results.append(data.format_vcf_record())
+            except Exception as e:
+                message = LOCUS_ASSEMBLY_ERROR.format(
+                    name=locus.name,
+                    contig=locus.contig,
+                    start=locus.start,
+                    stop=locus.stop,
+                )
+                raise LocusAssemblyError(message) from e
+        return results
+
+    def run_stdout(self):
+        """Stream VCF records; ``MCHAP_LOCUS_BATCH`` > 1 turns on
+        cross-locus device batching (loci stream through the chip in
+        blocks instead of one sampler launch per locus)."""
+        block = int(os.environ.get("MCHAP_LOCUS_BATCH", "1"))
+        if block <= 1:
+            return super().run_stdout()
+        for line in self.header():
+            sys.stdout.write(line + "\n")
+        pending = []
+        for locus in self.loci():
+            pending.append(locus)
+            if len(pending) >= block:
+                for line in self._call_locus_block(pending):
+                    sys.stdout.write(line + "\n")
+                pending = []
+        if pending:
+            for line in self._call_locus_block(pending):
+                sys.stdout.write(line + "\n")
 
 
 def _genotype_as_alleles(genotype, labels):

@@ -287,13 +287,38 @@ def fit_denovo_batch(
     ]
     counts_list = [c if len(c) else np.ones(1) for c in counts_list]
     reads, counts = _pad_reads_bucket(reads_list, counts_list)
+    n_alleles_mat = np.broadcast_to(
+        n_alleles[None, :], (n_samples, n_pos)
+    ).copy()
+    return _fit_denovo_core(
+        reads, counts, n_alleles_mat, ploidy, use_prior, inbreeding,
+        steps, chains, alpha, beta, fix_homozygous,
+        recombination_step_probability, partial_dosage_step_probability,
+        dosage_step_probability, temperatures, random_seed,
+    )
+
+
+def _fit_denovo_core(
+    reads, counts, n_alleles_mat, ploidy, use_prior, inbreeding,
+    steps, chains, alpha, beta, fix_homozygous,
+    recombination_step_probability, partial_dosage_step_probability,
+    dosage_step_probability, temperatures, random_seed,
+):
+    """Shared batched-assembly core over pre-padded arrays.
+
+    ``n_alleles_mat`` is PER PROBLEM ([S, nb]); positions with
+    n_alleles <= 1 (cross-locus padding, fit_denovo_multi) are forced
+    homozygous-fixed at allele 0, which the samplers treat as provable
+    no-ops.
+    """
+    n_samples, _, n_pos, _ = reads.shape
 
     # per-sample homozygote fixing
     hom = np.stack(
         [
             _kernel.homozygosity_probabilities(
                 jnp.asarray(reads[i]),
-                n_alleles,
+                n_alleles_mat[i],
                 ploidy,
                 use_prior=use_prior,
                 inbreeding=float(inbreeding[i]),
@@ -303,9 +328,12 @@ def fit_denovo_batch(
         ]
     )  # [S, nb, A]
     fixed = hom >= fix_homozygous
-    homozygous = np.any(fixed, axis=-1)  # [S, nb]
-    fixed_allele = np.where(homozygous, np.argmax(fixed, axis=-1), 0)
-    n_alleles_eff = np.where(homozygous, 1, n_alleles[None, :]).astype(np.int32)
+    homozygous = np.any(fixed, axis=-1) | (n_alleles_mat <= 1)  # [S, nb]
+    fixed_allele = np.where(
+        np.any(fixed, axis=-1), np.argmax(fixed, axis=-1), 0
+    )
+    fixed_allele = np.where(homozygous, fixed_allele, 0)
+    n_alleles_eff = np.where(homozygous, 1, n_alleles_mat).astype(np.int32)
     n_het = (~homozygous).sum(axis=-1)
 
     break_dist = np.zeros((n_samples, n_pos))
@@ -421,6 +449,88 @@ def fit_denovo_batch(
             out.append(GenotypeMultiTrace(g, np.full((chains, steps), np.nan)))
         else:
             out.append(GenotypeMultiTrace(genotypes[i], llks[i]))
+    return out
+
+
+def fit_denovo_multi(
+    problems,
+    ploidy,
+    steps=1000,
+    chains=2,
+    alpha=1.0,
+    beta=3.0,
+    fix_homozygous=0.999,
+    recombination_step_probability=0.5,
+    partial_dosage_step_probability=0.5,
+    dosage_step_probability=1.0,
+    temperatures=(1.0,),
+    random_seed=None,
+):
+    """Run the de novo assembler for problems from MANY LOCI in one
+    device program (cross-locus streaming).
+
+    Each problem is a dict with ``reads`` (float[R, nb_i, A_i]),
+    ``counts`` (float[R]), ``n_alleles`` (int[nb_i]) and optionally
+    ``inbreeding``.  Problems are padded to a common
+    [R_max, nb_max, A_max] bucket; padded positions are all-gap reads
+    with n_alleles = 1, which the samplers provably never move (the
+    cross-locus analogue of the homozygote-fixed static-shape design).
+    The reference parallelises this axis with one process per locus
+    (baseclass.py:360-394).  Returns one GenotypeMultiTrace per
+    problem, sliced back to its true position count.
+    """
+    n_prob = len(problems)
+    nb_list = [len(p["n_alleles"]) for p in problems]
+    a_list = [
+        (p["reads"].shape[2] if p["reads"].ndim == 3 and p["reads"].shape[2] else 1)
+        for p in problems
+    ]
+    r_list = [max(len(p["reads"]), 1) for p in problems]
+    nb_max = max(nb_list + [0])
+    if nb_max == 0:
+        return [
+            GenotypeMultiTrace(
+                np.zeros((chains, steps, ploidy, 0), np.int8),
+                np.full((chains, steps), np.nan),
+            )
+            for _ in range(n_prob)
+        ]
+    a_max = max(a_list)
+    r_max = max(r_list)
+
+    use_prior = any(p.get("inbreeding") is not None for p in problems)
+    inbreeding = np.array(
+        [float(p.get("inbreeding") or 0.0) for p in problems]
+    )
+
+    reads = np.full((n_prob, r_max, nb_max, a_max), np.nan)
+    counts = np.zeros((n_prob, r_max))
+    n_alleles_mat = np.ones((n_prob, nb_max), np.int32)
+    for i, p in enumerate(problems):
+        r_i, nb_i, a_i = len(p["reads"]), nb_list[i], a_list[i]
+        if r_i and nb_i:
+            reads[i, :r_i, :nb_i, :a_i] = p["reads"]
+            # allele slots beyond the problem's own allele axis are
+            # impossible observations (prob 0 -> MIN_LOG), not gaps
+            reads[i, :r_i, :nb_i, a_i:] = 0.0
+            counts[i, :r_i] = p["counts"]
+        else:
+            # zero reads: single all-gap mock read (mcmc.py:132-137)
+            counts[i, 0] = 1.0
+        n_alleles_mat[i, :nb_i] = np.asarray(p["n_alleles"], np.int32)
+
+    traces = _fit_denovo_core(
+        reads, counts, n_alleles_mat, ploidy, use_prior, inbreeding,
+        steps, chains, alpha, beta, fix_homozygous,
+        recombination_step_probability, partial_dosage_step_probability,
+        dosage_step_probability, temperatures, random_seed,
+    )
+    out = []
+    for i, tr in enumerate(traces):
+        sliced = GenotypeMultiTrace(None, None)
+        sliced.genotypes = tr.genotypes[..., : nb_list[i]]
+        sliced.llks = tr.llks
+        out.append(sliced)
     return out
 
 
