@@ -19,6 +19,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from mchap_tpu import mset
+from mchap_tpu.utils import timing
 from mchap_tpu.constant import PFEIFFER_ERROR
 from mchap_tpu.encoding import character
 from mchap_tpu.io import vcf as VCF
@@ -292,10 +293,15 @@ class program:
 
     def call_locus(self, locus, sample_bams):
         data = self._locus_data(locus, sample_bams)
-        self.encode_sample_reads(data)
-        self.call_sample_genotypes(data)
-        self.sumarise_vcf_record(data)
-        return data.format_vcf_record()
+        with timing.stage("encode_reads"):
+            self.encode_sample_reads(data)
+        with timing.stage("device_sampler"):
+            self.call_sample_genotypes(data)
+        with timing.stage("summarize_format"):
+            self.sumarise_vcf_record(data)
+            record = data.format_vcf_record()
+        timing.tick_loci(1, sample_calls=len(data.samples))
+        return record
 
     def _assemble_loci_wrapped(self, loci):
         for locus in loci:
@@ -316,6 +322,7 @@ class program:
             sys.stdout.write(line + "\n")
         for line in self._assemble_loci_wrapped(self.loci()):
             sys.stdout.write(line + "\n")
+        timing.emit_summary()
 
 
 def _unique_read_dists(read_dists):
