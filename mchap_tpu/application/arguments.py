@@ -244,7 +244,18 @@ read_group_field = _p(
 )
 cores = _p(
     "--cores", type=int, nargs=1, default=[1],
-    help="Number of compute workers (default = 1).",
+    help="Number of compute workers (default = 1). Accepted for "
+    "reference CLI compatibility; this implementation supersedes "
+    "process parallelism with cross-locus device batching "
+    "(see --locus-batch) and will warn if a value > 1 is given.",
+)
+locus_batch = _p(
+    "--locus-batch", type=str, nargs=1, default=["auto"],
+    help="Number of loci batched into one device sampler program "
+    '(default = "auto": a device-dependent batch on TPU, per-locus '
+    "on CPU). Larger batches amortise dispatch and fill the "
+    "accelerator; results are decision-identical to per-locus runs. "
+    "The MCHAP_LOCUS_BATCH environment variable overrides this flag.",
 )
 basis_targets = _p(
     "--targets", type=str, nargs=1, default=[None],
@@ -298,7 +309,7 @@ MCMC_ARGUMENTS = [
     mcmc_chain_incongruence_threshold,
 ]
 OUTPUT_ARGUMENTS = [report]
-CORES_ARGUMENTS = [cores]
+CORES_ARGUMENTS = [cores, locus_batch]
 
 ASSEMBLE_MCMC_PARSER_ARGUMENTS = (
     SAMPLE_FLATPRIOR_ARGUMENTS
@@ -598,6 +609,7 @@ def collect_default_program_arguments(arguments, skip_inbreeding=False):
         info_fields=info_fields,
         format_fields=format_fields,
         n_cores=arguments.cores[0],
+        locus_batch=arguments.locus_batch[0],
     )
 
 

@@ -4,7 +4,6 @@ Reference: mchap/application/assemble.py.
 """
 
 import argparse
-import os
 import sys
 from dataclasses import dataclass
 
@@ -12,6 +11,7 @@ import numpy as np
 
 from mchap_tpu import mset
 from mchap_tpu.application import baseclass
+from mchap_tpu.utils import timing
 from mchap_tpu.application.arguments import (
     ASSEMBLE_MCMC_PARSER_ARGUMENTS,
     collect_assemble_mcmc_program_arguments,
@@ -153,6 +153,9 @@ class program(baseclass.program):
                 temperatures=ladders[0],
                 random_seed=self.random_seed,
             )
+            timing.count_sampler_steps(
+                len(data.samples) * self.mcmc_chains * self.mcmc_steps
+            )
             batch_traces = dict(zip(data.samples, traces))
 
         for sample in data.samples:
@@ -270,19 +273,20 @@ class program(baseclass.program):
         order.
         """
         prepared = []
-        for locus in loci:
-            try:
-                data = self._locus_data(locus, self.sample_bams)
-                self.encode_sample_reads(data)
-            except Exception as e:
-                message = LOCUS_ASSEMBLY_ERROR.format(
-                    name=locus.name,
-                    contig=locus.contig,
-                    start=locus.start,
-                    stop=locus.stop,
-                )
-                raise LocusAssemblyError(message) from e
-            prepared.append((locus, data))
+        with timing.stage("encode_reads"):
+            for locus in loci:
+                try:
+                    data = self._locus_data(locus, self.sample_bams)
+                    self.encode_sample_reads(data)
+                except Exception as e:
+                    message = LOCUS_ASSEMBLY_ERROR.format(
+                        name=locus.name,
+                        contig=locus.contig,
+                        start=locus.start,
+                        stop=locus.stop,
+                    )
+                    raise LocusAssemblyError(message) from e
+                prepared.append((locus, data))
 
         groups = {}
         for idx, (locus, data) in enumerate(prepared):
@@ -304,67 +308,53 @@ class program(baseclass.program):
                 groups.setdefault(key, []).append((idx, sample, problem))
 
         traces = {}
-        for (ploidy, ladder), items in groups.items():
-            try:
-                fitted = fit_denovo_multi(
-                    [p for _, _, p in items],
-                    ploidy,
-                    steps=self.mcmc_steps,
-                    chains=self.mcmc_chains,
-                    alpha=self.mcmc_alpha,
-                    beta=self.mcmc_beta,
-                    fix_homozygous=self.mcmc_fix_homozygous,
-                    recombination_step_probability=self.mcmc_recombination_step_probability,
-                    partial_dosage_step_probability=self.mcmc_partial_dosage_step_probability,
-                    dosage_step_probability=self.mcmc_dosage_step_probability,
-                    temperatures=ladder,
-                    random_seed=self.random_seed,
+        with timing.stage("device_sampler"):
+            for (ploidy, ladder), items in groups.items():
+                try:
+                    fitted = fit_denovo_multi(
+                        [p for _, _, p in items],
+                        ploidy,
+                        steps=self.mcmc_steps,
+                        chains=self.mcmc_chains,
+                        alpha=self.mcmc_alpha,
+                        beta=self.mcmc_beta,
+                        fix_homozygous=self.mcmc_fix_homozygous,
+                        recombination_step_probability=self.mcmc_recombination_step_probability,
+                        partial_dosage_step_probability=self.mcmc_partial_dosage_step_probability,
+                        dosage_step_probability=self.mcmc_dosage_step_probability,
+                        temperatures=ladder,
+                        random_seed=self.random_seed,
+                    )
+                except Exception:
+                    continue  # per-sample fallback in call_sample_genotypes
+                timing.count_sampler_steps(
+                    len(items) * self.mcmc_chains * self.mcmc_steps
                 )
-            except Exception:
-                continue  # per-sample fallback inside call_sample_genotypes
-            for (idx, sample, _), t in zip(items, fitted):
-                traces[(idx, sample)] = t
+                for (idx, sample, _), t in zip(items, fitted):
+                    traces[(idx, sample)] = t
 
         results = []
-        for idx, (locus, data) in enumerate(prepared):
-            try:
-                locus_traces = {
-                    sample: traces[(idx, sample)]
-                    for sample in data.samples
-                    if (idx, sample) in traces
-                }
-                self.call_sample_genotypes(data, traces=locus_traces or None)
-                self.sumarise_vcf_record(data)
-                results.append(data.format_vcf_record())
-            except Exception as e:
-                message = LOCUS_ASSEMBLY_ERROR.format(
-                    name=locus.name,
-                    contig=locus.contig,
-                    start=locus.start,
-                    stop=locus.stop,
-                )
-                raise LocusAssemblyError(message) from e
+        with timing.stage("summarize_format"):
+            for idx, (locus, data) in enumerate(prepared):
+                try:
+                    locus_traces = {
+                        sample: traces[(idx, sample)]
+                        for sample in data.samples
+                        if (idx, sample) in traces
+                    }
+                    self.call_sample_genotypes(data, traces=locus_traces or None)
+                    self.sumarise_vcf_record(data)
+                    results.append(data.format_vcf_record())
+                except Exception as e:
+                    message = LOCUS_ASSEMBLY_ERROR.format(
+                        name=locus.name,
+                        contig=locus.contig,
+                        start=locus.start,
+                        stop=locus.stop,
+                    )
+                    raise LocusAssemblyError(message) from e
+                timing.tick_loci(1, sample_calls=len(data.samples))
         return results
-
-    def run_stdout(self):
-        """Stream VCF records; ``MCHAP_LOCUS_BATCH`` > 1 turns on
-        cross-locus device batching (loci stream through the chip in
-        blocks instead of one sampler launch per locus)."""
-        block = int(os.environ.get("MCHAP_LOCUS_BATCH", "1"))
-        if block <= 1:
-            return super().run_stdout()
-        for line in self.header():
-            sys.stdout.write(line + "\n")
-        pending = []
-        for locus in self.loci():
-            pending.append(locus)
-            if len(pending) >= block:
-                for line in self._call_locus_block(pending):
-                    sys.stdout.write(line + "\n")
-                pending = []
-        if pending:
-            for line in self._call_locus_block(pending):
-                sys.stdout.write(line + "\n")
 
 
 def _genotype_as_alleles(genotype, labels):

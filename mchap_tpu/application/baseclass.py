@@ -12,6 +12,7 @@ the batched samplers, so ``--cores`` shapes nothing yet (device batching
 across loci supersedes process parallelism).
 """
 
+import os
 import sys
 import warnings
 from dataclasses import dataclass
@@ -72,6 +73,7 @@ class program:
     info_fields: list = None
     format_fields: list = None
     n_cores: int = 1
+    locus_batch: str = "auto"
     precision: int = 3
     random_seed: int = 42
     cli_command: str = None
@@ -317,11 +319,67 @@ class program:
                 raise LocusAssemblyError(message) from e
             yield result
 
+    # -- cross-locus device batching ----------------------------------
+
+    # Tools with a batched implementation (assemble, call) override this
+    # to fit every (locus, sample) problem of the block in ONE device
+    # program; the default processes the block per locus, preserving the
+    # reference's per-locus semantics for the remaining tools.
+    def _call_locus_block(self, loci):
+        return list(self._assemble_loci_wrapped(loci))
+
+    def _locus_batch_size(self):
+        """Resolve the cross-locus batch size.
+
+        Priority: MCHAP_LOCUS_BATCH env var > --locus-batch flag >
+        "auto" (a device-sized batch on an accelerator backend, 1 on
+        CPU, where per-locus dispatch is cheap and per-locus output
+        stays byte-reproducible with the reference-shaped path).
+        """
+        env = os.environ.get("MCHAP_LOCUS_BATCH", "").strip()
+        value = env or (self.locus_batch or "auto")
+        if str(value).lower() == "auto":
+            if type(self)._call_locus_block is program._call_locus_block:
+                return 1  # tool has no batched path
+            import jax
+
+            return 32 if jax.default_backend() != "cpu" else 1
+        return max(int(value), 1)
+
+    def _timed_loci(self):
+        """Iterate self.loci() charging construction to ``read_loci``."""
+        it = iter(self.loci())
+        while True:
+            with timing.stage("read_loci"):
+                try:
+                    locus = next(it)
+                except StopIteration:
+                    return
+            yield locus
+
     def run_stdout(self):
+        if self.n_cores and self.n_cores > 1:
+            warnings.warn(
+                "--cores is ignored: cross-locus device batching "
+                "supersedes process parallelism (see --locus-batch)."
+            )
+        block = self._locus_batch_size()
         for line in self.header():
             sys.stdout.write(line + "\n")
-        for line in self._assemble_loci_wrapped(self.loci()):
-            sys.stdout.write(line + "\n")
+        if block <= 1:
+            for line in self._assemble_loci_wrapped(self._timed_loci()):
+                sys.stdout.write(line + "\n")
+        else:
+            pending = []
+            for locus in self._timed_loci():
+                pending.append(locus)
+                if len(pending) >= block:
+                    for line in self._call_locus_block(pending):
+                        sys.stdout.write(line + "\n")
+                    pending = []
+            if pending:
+                for line in self._call_locus_block(pending):
+                    sys.stdout.write(line + "\n")
         timing.emit_summary()
 
 

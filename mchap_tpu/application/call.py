@@ -5,13 +5,13 @@ device program (models/calling.py).
 """
 
 import argparse
-import os
 import sys
 from dataclasses import dataclass
 
 import numpy as np
 
 from mchap_tpu.application import call_baseclass
+from mchap_tpu.utils import timing
 from mchap_tpu.application.arguments import (
     CALL_MCMC_PARSER_ARGUMENTS,
     collect_call_mcmc_program_arguments,
@@ -179,6 +179,9 @@ class program(call_baseclass.program):
                 chains=self.mcmc_chains,
                 random_seed=self.random_seed,
             )
+            timing.count_sampler_steps(
+                len(data.samples) * self.mcmc_chains * self.mcmc_steps
+            )
             batch_traces = dict(zip(data.samples, traces))
 
         for sample in data.samples:
@@ -229,20 +232,21 @@ class program(call_baseclass.program):
         Returns formatted VCF record lines in input order.
         """
         prepared = []
-        for locus in loci:
-            try:
-                data = self._locus_data(locus, self.sample_bams)
-                self.encode_sample_reads(data)
-                setup = self._setup_locus(data)
-            except Exception as e:
-                message = LOCUS_ASSEMBLY_ERROR.format(
-                    name=locus.name,
-                    contig=locus.contig,
-                    start=locus.start,
-                    stop=locus.stop,
-                )
-                raise LocusAssemblyError(message) from e
-            prepared.append((locus, data, setup))
+        with timing.stage("encode_reads"):
+            for locus in loci:
+                try:
+                    data = self._locus_data(locus, self.sample_bams)
+                    self.encode_sample_reads(data)
+                    setup = self._setup_locus(data)
+                except Exception as e:
+                    message = LOCUS_ASSEMBLY_ERROR.format(
+                        name=locus.name,
+                        contig=locus.contig,
+                        start=locus.start,
+                        stop=locus.stop,
+                    )
+                    raise LocusAssemblyError(message) from e
+                prepared.append((locus, data, setup))
 
         # gather device-batchable problems, grouped by ploidy
         groups = {}
@@ -262,67 +266,53 @@ class program(call_baseclass.program):
                     (idx, sample, problem)
                 )
         traces = {}
-        for ploidy, items in groups.items():
-            try:
-                fitted = fit_calling_multi(
-                    [p for _, _, p in items],
-                    ploidy,
-                    steps=self.mcmc_steps,
-                    chains=self.mcmc_chains,
-                    random_seed=self.random_seed,
+        with timing.stage("device_sampler"):
+            for ploidy, items in groups.items():
+                try:
+                    fitted = fit_calling_multi(
+                        [p for _, _, p in items],
+                        ploidy,
+                        steps=self.mcmc_steps,
+                        chains=self.mcmc_chains,
+                        random_seed=self.random_seed,
+                    )
+                except Exception:
+                    continue  # per-sample fallback below
+                timing.count_sampler_steps(
+                    len(items) * self.mcmc_chains * self.mcmc_steps
                 )
-            except Exception:
-                continue  # per-sample fallback below
-            for (idx, sample, _), t in zip(items, fitted):
-                traces[(idx, sample)] = t
+                for (idx, sample, _), t in zip(items, fitted):
+                    traces[(idx, sample)] = t
 
         results = []
-        for idx, (locus, data, setup) in enumerate(prepared):
-            try:
-                if setup is not None:
-                    for sample in data.samples:
-                        try:
-                            t = traces.get((idx, sample))
-                            if t is not None:
-                                trace = t.burn(self.mcmc_burn)
-                            else:
-                                trace = self._fit_sample_trace(
-                                    data, setup, sample
+        with timing.stage("summarize_format"):
+            for idx, (locus, data, setup) in enumerate(prepared):
+                try:
+                    if setup is not None:
+                        for sample in data.samples:
+                            try:
+                                t = traces.get((idx, sample))
+                                if t is not None:
+                                    trace = t.burn(self.mcmc_burn)
+                                else:
+                                    trace = self._fit_sample_trace(
+                                        data, setup, sample
+                                    )
+                                self._finish_sample(data, sample, trace, setup)
+                            except Exception as e:
+                                message = SAMPLE_ASSEMBLY_ERROR.format(
+                                    sample=sample
                                 )
-                            self._finish_sample(data, sample, trace, setup)
-                        except Exception as e:
-                            message = SAMPLE_ASSEMBLY_ERROR.format(
-                                sample=sample
-                            )
-                            raise SampleAssemblyError(message) from e
-                self.sumarise_vcf_record(data)
-                results.append(data.format_vcf_record())
-            except Exception as e:
-                message = LOCUS_ASSEMBLY_ERROR.format(
-                    name=locus.name,
-                    contig=locus.contig,
-                    start=locus.start,
-                    stop=locus.stop,
-                )
-                raise LocusAssemblyError(message) from e
+                                raise SampleAssemblyError(message) from e
+                    self.sumarise_vcf_record(data)
+                    results.append(data.format_vcf_record())
+                except Exception as e:
+                    message = LOCUS_ASSEMBLY_ERROR.format(
+                        name=locus.name,
+                        contig=locus.contig,
+                        start=locus.start,
+                        stop=locus.stop,
+                    )
+                    raise LocusAssemblyError(message) from e
+                timing.tick_loci(1, sample_calls=len(data.samples))
         return results
-
-    def run_stdout(self):
-        """Stream VCF records; ``MCHAP_LOCUS_BATCH`` > 1 turns on
-        cross-locus device batching (default 1 = per-locus, which keeps
-        output byte-reproducible with the unbatched path)."""
-        block = int(os.environ.get("MCHAP_LOCUS_BATCH", "1"))
-        if block <= 1:
-            return super().run_stdout()
-        for line in self.header():
-            sys.stdout.write(line + "\n")
-        pending = []
-        for locus in self.loci():
-            pending.append(locus)
-            if len(pending) >= block:
-                for line in self._call_locus_block(pending):
-                    sys.stdout.write(line + "\n")
-                pending = []
-        if pending:
-            for line in self._call_locus_block(pending):
-                sys.stdout.write(line + "\n")

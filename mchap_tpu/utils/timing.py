@@ -21,8 +21,19 @@ Stages used by the applications:
 - ``device_sampler``    — batched MCMC / exact-caller device calls
                           (includes host<->device transfer and, on the
                           first batch of a shape bucket, compilation).
+                          Attribution caveat: jax dispatch is
+                          asynchronous and ``block_until_ready`` does
+                          not block through a remote-TPU tunnel, so the
+                          fit paths force completion by materialising
+                          traces with ``np.asarray`` before returning —
+                          device execution is charged here, not to the
+                          stage that first touches the result.
 - ``summarize_format``  — posterior summarisation + VCF record
                           formatting (host).
+
+``count_sampler_steps`` records device compound MCMC steps (problems x
+chains x steps) from the application fit sites; the summary derives an
+aggregate steps/s from it.
 
 All timers are wall-clock (`time.perf_counter`).  The module is a
 process-level singleton, mirroring how the applications stream a single
