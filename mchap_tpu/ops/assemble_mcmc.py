@@ -441,12 +441,15 @@ def structural_sweep(
 
 
 def chain_swap(
-    key, genotype_i, llk_i, temp_i, genotype_j, llk_j, temp_j,
+    key, genotype_i, rh_i, llk_i, temp_i, genotype_j, rh_j, llk_j, temp_j,
     log_uh, use_prior, inbreeding,
 ):
     """Neighbor-temperature state swap (Sambridge 2014 eq. 11).
 
     i is the cooler chain (higher inverse temp); tempering.py:10-151.
+    The cached per-read per-haplotype matrices ``rh`` travel with their
+    genotypes (rh is a pure function of the genotype, so exchanging the
+    cached copies is exact — no recomputation).
     """
     if use_prior:
         prior_i = _genotype_prior_from_eq(_row_eq(genotype_i), log_uh, inbreeding)
@@ -462,9 +465,11 @@ def chain_swap(
     swap = acceptance >= u
     g_i = jnp.where(swap, genotype_j, genotype_i)
     g_j = jnp.where(swap, genotype_i, genotype_j)
+    r_i = jnp.where(swap, rh_j, rh_i)
+    r_j = jnp.where(swap, rh_i, rh_j)
     l_i = jnp.where(swap, llk_j, llk_i)
     l_j = jnp.where(swap, llk_i, llk_j)
-    return g_i, l_i, g_j, l_j
+    return g_i, r_i, l_i, g_j, r_j, l_j
 
 
 # ---------------------------------------------------------------------------
@@ -529,73 +534,73 @@ def denovo_sampler(
         rhs0 = jnp.broadcast_to(rh0, (n_temps,) + rh0.shape)
         llks0 = jnp.full((n_temps,), llk0)
 
+        def sweep_one(tkeys, g, rh, llk, temp):
+            """Mutation + structural sub-steps at one temperature.
+
+            Temperatures are independent within a step, so this is a
+            vmapped batch axis — the sampler code is traced ONCE for
+            any ladder length instead of unrolled per temperature.
+            """
+            kmut, kp1, kp2, kp3, _, kint = tkeys
+            g, rh, llk = mutation_sweep(
+                kmut, g, rh, llk, log_reads, read_counts, n_alleles_arr,
+                log_uh, temp, use_prior, inbreeding,
+            )
+            # recombination sub-step
+            ku1, ki1 = jax.random.split(kp1)
+            do = jax.random.uniform(ku1, dtype=jnp.float64) <= recombination_step_probability
+            intervals = random_intervals(ki1, n_base, break_dist)
+            g2, rh2, llk2 = structural_sweep(
+                kint, g, rh, llk, intervals, log_reads, read_counts,
+                log_uh, temp, 0, use_prior, inbreeding,
+            )
+            g = jnp.where(do, g2, g)
+            rh = jnp.where(do, rh2, rh)
+            llk = jnp.where(do, llk2, llk)
+            # partial dosage sub-step
+            ku2, ki2, ks2 = jax.random.split(kp2, 3)
+            do = jax.random.uniform(ku2, dtype=jnp.float64) <= partial_dosage_step_probability
+            intervals = random_intervals(ki2, n_base, break_dist)
+            g2, rh2, llk2 = structural_sweep(
+                ks2, g, rh, llk, intervals, log_reads, read_counts,
+                log_uh, temp, 1, use_prior, inbreeding,
+            )
+            g = jnp.where(do, g2, g)
+            rh = jnp.where(do, rh2, rh)
+            llk = jnp.where(do, llk2, llk)
+            # full-length dosage sub-step
+            ku3, ks3 = jax.random.split(kp3)
+            do = jax.random.uniform(ku3, dtype=jnp.float64) <= dosage_step_probability
+            full_interval = jnp.array([0, n_base])
+            g2, rh2, llk2 = interval_step(
+                ks3, g, rh, llk, full_interval, log_reads, read_counts,
+                log_uh, temp, 1, use_prior, inbreeding,
+            )
+            g = jnp.where(do, g2, g)
+            rh = jnp.where(do, rh2, rh)
+            llk = jnp.where(do, llk2, llk)
+            return g, rh, llk
+
         def step(carry, step_key):
             genotypes, rhs, llks = carry
             keys = jax.random.split(step_key, n_temps * 6).reshape(n_temps, 6, 2)
-            new_g, new_rh, new_llk = [], [], []
-            for t in range(n_temps):
-                g, rh, llk = genotypes[t], rhs[t], llks[t]
-                temp = temperatures[t]
-                kmut, kp1, kp2, kp3, kswap, kint = keys[t]
-
-                g, rh, llk = mutation_sweep(
-                    kmut, g, rh, llk, log_reads, read_counts, n_alleles_arr,
-                    log_uh, temp, use_prior, inbreeding,
+            genotypes, rhs, llks = jax.vmap(sweep_one)(
+                keys, genotypes, rhs, llks, temperatures
+            )
+            # neighbor chain swaps, warmest to coldest; a swap exchanges
+            # the cached rh matrices along with genotype/llk (cheap
+            # selects, so the tiny sequential unroll costs nothing)
+            for t in range(1, n_temps):
+                kswap = keys[t, 4]
+                g_t, r_t, l_t, g_p, r_p, l_p = chain_swap(
+                    kswap,
+                    genotypes[t], rhs[t], llks[t], temperatures[t],
+                    genotypes[t - 1], rhs[t - 1], llks[t - 1],
+                    temperatures[t - 1], log_uh, use_prior, inbreeding,
                 )
-                # recombination sub-step
-                ku1, ki1 = jax.random.split(kp1)
-                do = jax.random.uniform(ku1, dtype=jnp.float64) <= recombination_step_probability
-                intervals = random_intervals(ki1, n_base, break_dist)
-                g2, rh2, llk2 = structural_sweep(
-                    kint, g, rh, llk, intervals, log_reads, read_counts,
-                    log_uh, temp, 0, use_prior, inbreeding,
-                )
-                g = jnp.where(do, g2, g)
-                rh = jnp.where(do, rh2, rh)
-                llk = jnp.where(do, llk2, llk)
-                # partial dosage sub-step
-                ku2, ki2, ks2 = jax.random.split(kp2, 3)
-                do = jax.random.uniform(ku2, dtype=jnp.float64) <= partial_dosage_step_probability
-                intervals = random_intervals(ki2, n_base, break_dist)
-                g2, rh2, llk2 = structural_sweep(
-                    ks2, g, rh, llk, intervals, log_reads, read_counts,
-                    log_uh, temp, 1, use_prior, inbreeding,
-                )
-                g = jnp.where(do, g2, g)
-                rh = jnp.where(do, rh2, rh)
-                llk = jnp.where(do, llk2, llk)
-                # full-length dosage sub-step
-                ku3, ks3 = jax.random.split(kp3)
-                do = jax.random.uniform(ku3, dtype=jnp.float64) <= dosage_step_probability
-                full_interval = jnp.array([0, n_base])
-                g2, rh2, llk2 = interval_step(
-                    ks3, g, rh, llk, full_interval, log_reads, read_counts,
-                    log_uh, temp, 1, use_prior, inbreeding,
-                )
-                g = jnp.where(do, g2, g)
-                rh = jnp.where(do, rh2, rh)
-                llk = jnp.where(do, llk2, llk)
-
-                # chain swap with the previous (warmer) temperature
-                if t > 0:
-                    g_prev, rh_prev, llk_prev = new_g[t - 1], new_rh[t - 1], new_llk[t - 1]
-                    g, llk, g_prev, llk_prev = chain_swap(
-                        kswap, g, llk, temp, g_prev, llk_prev,
-                        temperatures[t - 1], log_uh, use_prior, inbreeding,
-                    )
-                    # rh must follow the swapped genotypes
-                    rh_new_t = init_rh(g)
-                    rh_prev = init_rh(g_prev)
-                    rh = rh_new_t
-                    new_g[t - 1], new_rh[t - 1], new_llk[t - 1] = (
-                        g_prev, rh_prev, llk_prev,
-                    )
-                new_g.append(g)
-                new_rh.append(rh)
-                new_llk.append(llk)
-            genotypes = jnp.stack(new_g)
-            rhs = jnp.stack(new_rh)
-            llks = jnp.stack(new_llk)
+                genotypes = genotypes.at[t].set(g_t).at[t - 1].set(g_p)
+                rhs = rhs.at[t].set(r_t).at[t - 1].set(r_p)
+                llks = llks.at[t].set(l_t).at[t - 1].set(l_p)
             # record the cold chain (last temperature == 1.0)
             return (genotypes, rhs, llks), (genotypes[-1], llks[-1])
 
