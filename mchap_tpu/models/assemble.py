@@ -427,18 +427,22 @@ def _fit_denovo_core(
             dosage_step_probability=dosage_step_probability,
         )
 
+    # multi-chip: the (locus, sample) problem batch shards over the
+    # device mesh (placement only; see parallel.sharding)
+    from mchap_tpu.parallel.sharding import problem_mesh, shard_problems
+
     keys = jax.random.split(krun, n_samples)
-    genotypes, llks = jax.vmap(one)(
-        keys,
-        jnp.asarray(init),
-        log_reads,
-        jnp.asarray(counts, jnp.float64),
-        jnp.asarray(n_alleles_eff),
-        jnp.asarray(break_dist),
-        jnp.asarray(inbreeding, jnp.float64),
+    mesh = problem_mesh(n_samples)
+    _, keys_s, init_s, lr_s, counts_s, na_s, bd_s, ib_s = shard_problems(
+        mesh, n_samples, np.asarray(keys), init, np.asarray(log_reads),
+        np.asarray(counts, np.float64), n_alleles_eff,
+        np.asarray(break_dist), np.asarray(inbreeding, np.float64),
     )
-    genotypes = np.asarray(genotypes)
-    llks = np.asarray(llks)
+    genotypes, llks = jax.vmap(one)(
+        keys_s, init_s, lr_s, counts_s, na_s, bd_s, ib_s
+    )
+    genotypes = np.asarray(genotypes)[:n_samples]
+    llks = np.asarray(llks)[:n_samples]
 
     out = []
     for i in range(n_samples):

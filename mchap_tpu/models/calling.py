@@ -268,9 +268,17 @@ def fit_calling_batch(
             frequencies=freqs,
         )
 
+    # multi-chip: the sample batch shards over the device mesh
+    from mchap_tpu.parallel.sharding import problem_mesh, shard_problems
+
+    mesh = problem_mesh(n_samples)
+    _, keys, read_hap, counts, inbreeding = shard_problems(
+        mesh, n_samples, np.asarray(keys), np.asarray(read_hap),
+        np.asarray(counts), np.asarray(inbreeding),
+    )
     genotypes, llks = jax.vmap(one)(keys, read_hap, counts, inbreeding)
-    genotypes = np.asarray(genotypes, np.int32)
-    llks = np.asarray(llks)
+    genotypes = np.asarray(genotypes, np.int32)[:n_samples]
+    llks = np.asarray(llks)[:n_samples]
     return [
         GenotypeAllelesMultiTrace(genotypes[i], llks[i], n_alleles)
         for i in range(n_samples)
@@ -370,11 +378,9 @@ def fit_calling_multi(
             pass
 
     prior_kind = 1 if use_prior else 0
-    inbreeding = jnp.asarray(inbreeding_rows if use_prior else np.zeros(n_problems))
-    freqs = jnp.asarray(np.stack(freq_rows)) if use_prior else None
+    inbreeding = np.asarray(inbreeding_rows if use_prior else np.zeros(n_problems))
+    freqs = np.stack(freq_rows) if use_prior else None
     keys = jax.random.split(jax.random.PRNGKey(seed), n_problems)
-
-    n_valid_j = jnp.asarray(n_valid)
 
     def one(key, rh, c, f, fr, nv):
         initial = _kernel.greedy_caller(
@@ -394,16 +400,29 @@ def fit_calling_multi(
             n_valid=nv,
         )
 
+    # multi-chip: problems shard over the device mesh (placement only —
+    # every per-problem program and key is unchanged, see parallel.sharding)
+    from mchap_tpu.parallel.sharding import problem_mesh, shard_problems
+
+    mesh = problem_mesh(n_problems)
     if use_prior:
+        _, keys, read_hap, counts, inbreeding, freqs, n_valid_j = shard_problems(
+            mesh, n_problems, np.asarray(keys), np.asarray(read_hap),
+            np.asarray(counts), inbreeding, freqs, n_valid,
+        )
         genotypes, llks = jax.vmap(one)(
             keys, read_hap, counts, inbreeding, freqs, n_valid_j
         )
     else:
+        _, keys, read_hap, counts, inbreeding, n_valid_j = shard_problems(
+            mesh, n_problems, np.asarray(keys), np.asarray(read_hap),
+            np.asarray(counts), inbreeding, n_valid,
+        )
         genotypes, llks = jax.vmap(
             lambda k, rh, c, f, nv: one(k, rh, c, f, None, nv)
         )(keys, read_hap, counts, inbreeding, n_valid_j)
-    genotypes = np.asarray(genotypes, np.int32)
-    llks = np.asarray(llks)
+    genotypes = np.asarray(genotypes, np.int32)[:n_problems]
+    llks = np.asarray(llks)[:n_problems]
     return [
         GenotypeAllelesMultiTrace(
             genotypes[i], llks[i], len(problems[i]["haplotypes"])

@@ -68,14 +68,16 @@ def sharded_calling_step(
         total_counts = jax.lax.psum(local_counts, axis)
         return genotypes, llks, total_counts
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     fn = shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P()),
-        check_rep=False,
     )
     return jax.jit(fn)
 

@@ -1,0 +1,143 @@
+"""Multi-chip execution of the real fit paths on the 8-device CPU mesh.
+
+Sharding the (locus, sample) problem batch over a ``jax.sharding.Mesh``
+is a placement decision only (parallel/sharding.py): every per-problem
+program and PRNG key is unchanged, so sharded results must equal the
+single-device run element-wise.  The population INFO reductions that the
+reference computes in the parent process (baseclass.py:245-301) are
+validated as psum collectives against the host formulas.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from mchap_tpu.models.assemble import fit_denovo_multi
+from mchap_tpu.models.calling import fit_calling_multi
+from mchap_tpu.parallel.pools import (
+    pooled_info_collectives,
+    shard_pool_problems,
+)
+from mchap_tpu.parallel.sharding import problem_mesh, shard_problems
+from mchap_tpu.testing import simulate_reads
+
+
+def test_virtual_mesh_present():
+    assert len(jax.devices()) == 8
+
+
+def test_problem_mesh_respects_disable(monkeypatch):
+    monkeypatch.setenv("MCHAP_SHARD", "0")
+    assert problem_mesh(16) is None
+    monkeypatch.setenv("MCHAP_SHARD", "auto")
+    assert problem_mesh(16) is not None
+    assert problem_mesh(1) is None
+
+
+def test_shard_problems_pads_and_places():
+    mesh = problem_mesh(3)
+    n, a, b = shard_problems(
+        mesh, 3, np.arange(6).reshape(3, 2), np.arange(3.0)
+    )
+    assert n == 8
+    assert a.shape == (8, 2)
+    # padding repeats the final row
+    assert np.asarray(a)[3:].tolist() == [[4, 5]] * 5
+    assert np.asarray(b)[-1] == 2.0
+    # placed over all 8 devices
+    assert len(a.sharding.device_set) == 8
+
+
+def _calling_problems():
+    haps1 = np.array([[0, 0, 0], [0, 1, 1], [1, 1, 1]], np.int8)
+    haps2 = np.array([[0, 0], [1, 1], [0, 1], [1, 0]], np.int8)
+    problems = []
+    for i in range(5):
+        haps = haps1 if i % 2 == 0 else haps2
+        truth = haps[np.array([0, 1, 1, len(haps) - 1])]
+        reads = simulate_reads(
+            truth, n_alleles=2, n_reads=8 + 4 * i, errors=False, seed=i
+        )
+        problems.append(
+            dict(reads=reads, counts=np.ones(len(reads)), haplotypes=haps)
+        )
+    return problems
+
+
+def test_fit_calling_multi_sharded_matches_single_device(monkeypatch):
+    problems = _calling_problems()
+    monkeypatch.setenv("MCHAP_SHARD", "0")
+    single = fit_calling_multi(problems, ploidy=4, steps=60, chains=2,
+                               random_seed=11)
+    monkeypatch.setenv("MCHAP_SHARD", "auto")
+    sharded = fit_calling_multi(problems, ploidy=4, steps=60, chains=2,
+                                random_seed=11)
+    for a, b in zip(single, sharded):
+        np.testing.assert_array_equal(a.genotypes, b.genotypes)
+        np.testing.assert_allclose(a.llks, b.llks, rtol=1e-12)
+
+
+def test_fit_denovo_multi_sharded_matches_single_device(monkeypatch):
+    truth1 = np.array([[0, 0], [0, 1], [1, 1], [0, 0]], np.int8)
+    truth2 = np.array([[0, 1, 2], [0, 0, 0], [2, 1, 0], [0, 1, 2]], np.int8)
+    problems = [
+        dict(
+            reads=simulate_reads(truth1, n_alleles=2, n_reads=10, errors=False,
+                                 seed=1),
+            counts=np.ones(10), n_alleles=[2, 2],
+        ),
+        dict(
+            reads=simulate_reads(truth2, n_alleles=3, n_reads=8, errors=False,
+                                 seed=2),
+            counts=np.ones(8), n_alleles=[3, 2, 3],
+        ),
+        dict(
+            reads=simulate_reads(truth1, n_alleles=2, n_reads=14, errors=False,
+                                 seed=3),
+            counts=np.ones(14), n_alleles=[2, 2],
+        ),
+    ]
+    monkeypatch.setenv("MCHAP_SHARD", "0")
+    single = fit_denovo_multi(problems, ploidy=4, steps=40, chains=2,
+                              random_seed=5)
+    monkeypatch.setenv("MCHAP_SHARD", "auto")
+    sharded = fit_denovo_multi(problems, ploidy=4, steps=40, chains=2,
+                               random_seed=5)
+    for a, b in zip(single, sharded):
+        np.testing.assert_array_equal(a.genotypes, b.genotypes)
+        np.testing.assert_allclose(a.llks, b.llks, rtol=1e-12)
+
+
+def test_pooled_info_collectives_match_host_formulas():
+    """psum pooling == the reference's parent-process reductions
+    (elementwise sums; AOP as 1 - prod(1 - p); baseclass.py:245-301)."""
+    rng = np.random.default_rng(0)
+    # 13 problems: NOT a mesh multiple, so pool padding must be inert
+    n_problems, n_loci, k = 13, 3, 5
+    locus_ids = rng.integers(0, n_loci, n_problems).astype(np.int32)
+    acp = rng.uniform(0, 4, (n_problems, k))
+    aop = rng.uniform(0, 1, (n_problems, k))
+    snvdp = rng.integers(0, 50, (n_problems, k)).astype(float)
+
+    mesh = problem_mesh(n_problems)
+    assert mesh is not None
+    step = pooled_info_collectives(mesh, n_loci)
+    ids_s, acp_s, aop_s, snvdp_s = shard_pool_problems(
+        mesh, n_problems, n_loci, locus_ids, acp, aop, snvdp
+    )
+    got_acp, got_aopsum, got_aop, got_snvdp = [
+        np.asarray(x) for x in step(ids_s, acp_s, aop_s, snvdp_s)
+    ]
+
+    for locus in range(n_loci):
+        sel = locus_ids == locus
+        np.testing.assert_allclose(got_acp[locus], acp[sel].sum(0), rtol=1e-9)
+        np.testing.assert_allclose(
+            got_aopsum[locus], aop[sel].sum(0), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            got_aop[locus], 1 - np.prod(1 - aop[sel], axis=0), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            got_snvdp[locus], snvdp[sel].sum(0), rtol=1e-9
+        )
