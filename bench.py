@@ -1,19 +1,34 @@
-"""Benchmark: aggregate MCMC sampler throughput on the current device.
+"""Benchmark: aggregate MCMC sampler throughput vs an honest baseline.
 
-Workload: the calling-model Gibbs sampler (the framework's hot path) in
-float32 over a realistic bucket — tetraploid, 16-haplotype panel, 64
-unique reads x 16 SNVs — batched over many independent locus x sample
-chains (the framework's data-parallel axis).
+Workloads (matching shapes in ``mchap_tpu/native/bench_oracle.cpp``):
 
-On TPU the VMEM-resident pallas kernel (ops/pallas_calling.py) is the
-headline path: the whole chain runs on-core with the chain batch on the
-128-wide lane axis.  The baseline is the XLA formulation of the same
-sampler on the host CPU backend (measured in a subprocess), standing in
-for the reference's per-core numba throughput class.
+* **de novo assembly** (the flagship sampler): full compound step
+  (mutation sweep + recombination/dosage interval sweeps + full dosage
+  step) at ploidy 4, 16 SNVs, 64 unique reads, biallelic — the
+  VMEM-resident full-step pallas kernel with chains on the 128-wide
+  lane axis (ops/pallas_denovo.py).
+* **calling** Gibbs over a 16-haplotype panel, same reads bucket
+  (ops/pallas_calling.py).
 
-Prints ONE json line:
-  {"metric": "gibbs_compound_steps_per_s", "value": N, "unit": "steps/s",
-   "vs_baseline": R}
+Baseline: the reference's own inner loops (mutation/structural sweeps
+with the arraymap llk cache, cached Gibbs slot scoring —
+mchap/assemble/mcmc.py:268-426, mchap/calling/mcmc.py:232-327)
+re-implemented in single-thread C++ -O3 (the same performance class as
+the reference's numba-compiled output; numba is unavailable in this
+image) and scaled to the 64-core deployment named in BASELINE.md.
+This makes ``vs_baseline`` a true cross-implementation ratio, not a
+same-program backend ratio.  Note the C++ oracle *includes* the
+reference's likelihood caches (hit rates are printed), which the
+reference enables by default at these shapes.
+
+Also reports a VPU roofline estimate: these samplers are elementwise/
+gather bound (no matmuls at sampling time), so the relevant peak is the
+VPU vector unit (~3.7e12 f32 FLOP/s on v5e: 8 sublanes x 128 lanes x
+4 ALUs x ~940 MHz), not the MXU.  FLOP counts per compound step are
+analytic estimates documented inline.
+
+Prints ONE json line with the flagship metric; secondary metrics ride
+in "extra".
 """
 
 import json
@@ -24,16 +39,125 @@ import time
 
 import numpy as np
 
-B = 2048  # independent locus x sample problems
-CHAINS = 2
 PLOIDY = 4
 N_READS = 64
 N_POS = 16
+N_ALLELE = 2
 N_HAPS = 16
-STEPS = 500
+
+CALLING_STEPS = 500
+DENOVO_STEPS = 200
+CALLING_LANES = 65536
+DENOVO_LANES = 16384
+
+V5E_VPU_FLOPS = 3.7e12  # f32 vector peak, v5e (8 sublanes*128 lanes*4*940MHz)
+
+# Analytic FLOPs per compound chain-step (order-of-magnitude, used for
+# the roofline estimate only):
+# denovo: mutation sweep = P*NB sites x ~R*(P + 2A + 6) flops (rest
+# logsumexp over ploidy, candidate dot with counts) ~= 64 * 900 ~= 58k;
+# structural sweeps ~= (NB/4 + 1 intervals) x K options x ~R*P ~= 20k;
+# total ~= 8e4.
+DENOVO_FLOPS_PER_STEP = 8.0e4
+# calling: P slots x H candidates x ~(R adds + R exps for the hap mean)
+# ~= 4 * 16 * 3*64 ~= 1.2e4.
+CALLING_FLOPS_PER_STEP = 1.2e4
 
 
-def measure(b, steps, repeats=2):
+def _force(x):
+    """Force completion; block_until_ready does not block through the
+    remote-TPU tunnel, np.asarray on a small output does."""
+    return np.asarray(x)
+
+
+def oracle_rates():
+    """Build + run the single-core C++ oracle; returns its JSON dict."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "mchap_tpu", "native", "bench_oracle.cpp")
+    binary = os.path.join(here, ".build", "bench_oracle")
+    try:
+        if not os.path.exists(binary) or os.path.getmtime(binary) < os.path.getmtime(src):
+            os.makedirs(os.path.dirname(binary), exist_ok=True)
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-std=c++17", "-o", binary, src],
+                check=True, capture_output=True, timeout=300,
+            )
+        out = subprocess.run(
+            [binary, "2000"], capture_output=True, text=True, timeout=600
+        )
+        return json.loads(out.stdout.strip())
+    except Exception:
+        return None
+
+
+def measure_pallas_calling(n_chains, steps, repeats=2):
+    """VMEM-resident pallas calling kernel (TPU only)."""
+    import jax.numpy as jnp
+
+    from mchap_tpu.ops.pallas_calling import pallas_calling_sampler
+
+    rng = np.random.default_rng(0)
+    rh = jnp.asarray(rng.normal(size=(N_READS, N_HAPS, n_chains)), jnp.float32)
+    counts = jnp.ones((N_READS, n_chains), jnp.float32)
+    out = pallas_calling_sampler(
+        jnp.int32(1), rh, counts, n_steps=steps, ploidy=PLOIDY
+    )
+    _force(out[1][-1])
+    best = float("inf")
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        out = pallas_calling_sampler(
+            jnp.int32(2 + i), rh, counts, n_steps=steps, ploidy=PLOIDY
+        )
+        _force(out[1][-1])
+        best = min(best, time.perf_counter() - t0)
+    return n_chains * steps / best
+
+
+def measure_pallas_denovo(n_chains, steps, repeats=2):
+    """VMEM-resident full-step pallas de novo kernel (TPU only)."""
+    import jax.numpy as jnp
+
+    from mchap_tpu.ops.likelihood import prepare_reads
+    from mchap_tpu.ops.pallas_denovo import pallas_denovo_sampler
+
+    rng = np.random.default_rng(0)
+    # biallelic reads from a random truth (shared across chains: the
+    # bench measures sampler throughput, not read diversity)
+    truth = rng.integers(0, N_ALLELE, (PLOIDY, N_POS))
+    srcs = truth[rng.integers(0, PLOIDY, N_READS)]
+    reads = np.where(
+        srcs[..., None] == np.arange(N_ALLELE), 0.99, 0.01
+    ).astype(np.float32)
+    log_reads = np.asarray(prepare_reads(reads, dtype=jnp.float32))
+    lr = jnp.asarray(
+        np.broadcast_to(
+            log_reads[..., None], (N_READS, N_POS, N_ALLELE, n_chains)
+        )
+    )
+    counts = jnp.ones((N_READS, n_chains), jnp.float32)
+    init = jnp.zeros((PLOIDY, N_POS, n_chains), jnp.int32)
+    nall = jnp.full((N_POS, n_chains), N_ALLELE, jnp.int32)
+    pbreak = jnp.full((1, n_chains), 0.2, jnp.float32)
+
+    def run(seed):
+        g, llks = pallas_denovo_sampler(
+            jnp.int32(seed), lr, counts, init, nall, pbreak,
+            n_steps=steps, ploidy=PLOIDY,
+        )
+        return llks
+
+    _force(run(1)[-1])
+    best = float("inf")
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        _force(run(2 + i)[-1])
+        best = min(best, time.perf_counter() - t0)
+    return n_chains * steps / best
+
+
+def measure_xla_calling(b, steps, repeats=2):
+    """XLA formulation (fallback when pallas is unavailable)."""
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +166,7 @@ def measure(b, steps, repeats=2):
 
     rng = np.random.default_rng(0)
     initial, read_hap, read_counts = make_problem_batch(
-        rng, b, CHAINS, PLOIDY, N_READS, N_POS, N_HAPS, dtype=np.float32
+        rng, b, 2, PLOIDY, N_READS, N_POS, N_HAPS, dtype=np.float32
     )
 
     @jax.jit
@@ -50,100 +174,92 @@ def measure(b, steps, repeats=2):
         g, llks = jax.vmap(
             lambda key, init, r, c: calling_sampler(key, init, r, c, n_steps=steps)
         )(keys, initial, rh, counts)
-        # small on-device summary (the app's posterior pooling shape);
-        # keeps the timing free of large host transfers
-        pooled = jnp.sum(jax.nn.one_hot(g, N_HAPS, dtype=jnp.float32), axis=(0, 1, 2, 3))
+        pooled = jnp.sum(
+            jax.nn.one_hot(g, N_HAPS, dtype=jnp.float32), axis=(0, 1, 2, 3)
+        )
         return pooled, jnp.mean(llks)
 
     keys = jax.random.split(jax.random.PRNGKey(0), b)
-    # warmup/compile; np.asarray forces real completion (block_until_ready
-    # does not reliably block through the remote-TPU tunnel)
     out = fn(keys, initial, read_hap, read_counts)
-    _ = [np.asarray(o) for o in out]
+    _ = [_force(o) for o in out]
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = fn(keys, initial, read_hap, read_counts)
-        _ = [np.asarray(o) for o in out]
+        _ = [_force(o) for o in out]
         best = min(best, time.perf_counter() - t0)
-    compound_steps = b * CHAINS * steps
-    return compound_steps / best
-
-
-def cpu_baseline_rate():
-    """Same program on the host CPU backend, in a clean subprocess."""
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["MCHAP_BENCH_CPU_CHILD"] = "1"
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=900,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        for line in out.stdout.splitlines():
-            if line.startswith("{"):
-                return json.loads(line)["value"]
-    except Exception:
-        return None
-    return None
-
-
-def measure_pallas(n_chains, steps, repeats=2):
-    """VMEM-resident pallas kernel path (TPU only)."""
-    import jax
-    import jax.numpy as jnp
-
-    from mchap_tpu.ops.pallas_calling import pallas_calling_sampler
-
-    rng = np.random.default_rng(0)
-    rh = jnp.asarray(
-        rng.normal(size=(N_READS, N_HAPS, n_chains)), jnp.float32
-    )
-    counts = jnp.ones((N_READS, n_chains), jnp.float32)
-    out = pallas_calling_sampler(
-        jnp.int32(1), rh, counts, n_steps=steps, ploidy=PLOIDY
-    )
-    _ = np.asarray(out[1][-1])
-    best = float("inf")
-    for i in range(repeats):
-        t0 = time.perf_counter()
-        out = pallas_calling_sampler(
-            jnp.int32(2 + i), rh, counts, n_steps=steps, ploidy=PLOIDY
-        )
-        _ = np.asarray(out[1][-1])
-        best = min(best, time.perf_counter() - t0)
-    return n_chains * steps / best
+    return b * 2 * steps / best
 
 
 def main():
-    if os.environ.get("MCHAP_BENCH_CPU_CHILD"):
-        # smaller batch on CPU; rate is per-step so comparable
-        rate = measure(32, 100, repeats=1)
-        print(json.dumps({"metric": "cpu", "value": rate}))
-        return
     import jax
 
-    if jax.default_backend() != "cpu":
+    on_tpu = jax.default_backend() != "cpu"
+    results = {}
+    if on_tpu:
         try:
-            rate = measure_pallas(65536, STEPS)
-        except Exception:
-            rate = measure(B, STEPS)
+            results["denovo"] = measure_pallas_denovo(DENOVO_LANES, DENOVO_STEPS)
+        except Exception as e:  # pragma: no cover
+            results["denovo_error"] = repr(e)
+        try:
+            results["calling"] = measure_pallas_calling(
+                CALLING_LANES, CALLING_STEPS
+            )
+        except Exception as e:  # pragma: no cover
+            results["calling_error"] = repr(e)
+    if "calling" not in results:
+        results["calling"] = measure_xla_calling(
+            2048 if on_tpu else 32, 200 if on_tpu else 50, repeats=1
+        )
+
+    oracle = oracle_rates()
+    cores = 64  # BASELINE.md reference deployment
+    extra = {
+        "calling_compound_steps_per_s": round(results["calling"], 1),
+        "baseline_source": (
+            "single-core C++ -O3 port of the reference inner loops "
+            "(numba-class; includes the reference's llk caches) x 64 cores"
+        ),
+    }
+    if oracle:
+        denovo_base = oracle["denovo_steps_per_s_1core"] * cores
+        calling_base = oracle["calling_steps_per_s_1core"] * cores
+        extra["baseline_denovo_steps_per_s_64core"] = round(denovo_base, 1)
+        extra["baseline_calling_steps_per_s_64core"] = round(calling_base, 1)
+        extra["oracle"] = oracle
+        extra["calling_vs_baseline"] = round(results["calling"] / calling_base, 2)
+    if "denovo" in results:
+        extra["denovo_vpu_utilization"] = round(
+            results["denovo"] * DENOVO_FLOPS_PER_STEP / V5E_VPU_FLOPS, 4
+        )
+    extra["calling_vpu_utilization"] = round(
+        results["calling"] * CALLING_FLOPS_PER_STEP / V5E_VPU_FLOPS, 4
+    )
+    for k in ("denovo_error", "calling_error"):
+        if k in results:
+            extra[k] = results[k]
+
+    if "denovo" in results:
+        value = results["denovo"]
+        metric = "denovo_compound_steps_per_s"
+        vs = (
+            round(value / extra["baseline_denovo_steps_per_s_64core"], 3)
+            if oracle
+            else None
+        )
     else:
-        rate = measure(B, STEPS)
-    cpu_rate = cpu_baseline_rate()
-    vs = round(rate / cpu_rate, 2) if cpu_rate else None
+        value = results["calling"]
+        metric = "calling_compound_steps_per_s"
+        vs = extra.get("calling_vs_baseline")
+
     print(
         json.dumps(
             {
-                "metric": "gibbs_compound_steps_per_s",
-                "value": round(rate, 1),
+                "metric": metric,
+                "value": round(value, 1),
                 "unit": "steps/s",
                 "vs_baseline": vs,
+                "extra": extra,
             }
         )
     )
