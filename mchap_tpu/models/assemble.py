@@ -191,7 +191,9 @@ def _fit_denovo_batch_pallas(
 
     n_samples, n_reads, n_pos, max_allele = log_reads.shape
     b = n_samples * chains
-    b_pad = ((b + 127) // 128) * 128
+    # pad to 4 lane-tiles so the kernel can pack CHUNK=4 chain groups
+    # per instance (dummy lanes ride along at zero marginal cost)
+    b_pad = ((b + 511) // 512) * 512
     lr_cl = jnp.repeat(
         jnp.transpose(jnp.asarray(log_reads, jnp.float32), (1, 2, 3, 0)),
         chains, axis=3,

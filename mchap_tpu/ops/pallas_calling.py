@@ -60,7 +60,7 @@ def _make_kernel(n_steps, ploidy, n_reads, n_alleles):
     H = n_alleles
 
     def kern(seed_ref, rh_ref, counts_ref, nvalid_ref, out_g_ref, out_llk_ref,
-             g_s, s_s):
+             g_s, s_s, e_s, m_s, es_s):
         tile = pl.program_id(0)
         step = pl.program_id(1)
         pltpu.prng_seed(seed_ref[0] + tile * jnp.int32(STEPS) + step)
@@ -69,28 +69,44 @@ def _make_kernel(n_steps, ploidy, n_reads, n_alleles):
         nv = nvalid_ref[0, :]  # i32[LANES] per-lane real-allele count
         log_p = jnp.log(jnp.float32(P))
 
+        # Linear-domain formulation: with per-read anchors
+        # m[r] = max_h rh[r, h] precomputed once per tile, the slot-k
+        # Gibbs candidate likelihood is
+        #   llks[h] = sum_r counts * (log(S_rest[r] + exp(rh[r,h] - m)) +
+        #             m - log P)
+        # where S_rest = sum_{i != k} exp(s_i - m) is maintained from
+        # cached per-slot exponentials — ONE log pass over [R, H] per
+        # slot instead of the logaddexp (exp+log over [R, H]) plus a
+        # 3-row logsumexp of the direct form; transcedental-bound on
+        # v5e, this is the dominant cost.
         @pl.when(step == 0)
         def _():
+            m = rh[:, 0, :]
+            for h in range(1, H):
+                m = jnp.maximum(m, rh[:, h, :])
+            m_s[:, :] = m
+            for h in range(H):
+                e_s[:, h, :] = jnp.exp(rh[:, h, :] - m)
             onehot0 = (
                 jax.lax.broadcasted_iota(jnp.int32, (H, LANES), 0) == 0
             ).astype(jnp.float32)
             for k in range(P):
                 g_s[k, :, :] = onehot0
-                s_s[k, :, :] = jnp.sum(onehot0[None] * rh, axis=1)
+                s0 = jnp.sum(onehot0[None] * rh, axis=1)
+                s_s[k, :, :] = s0
+                es_s[k, :, :] = jnp.exp(s0 - m)
 
+        m = m_s[:, :]  # [R, LANES]
+        e_rh = e_s[:]  # [R, H, LANES]
         llk = jnp.zeros(LANES, jnp.float32)
         dosage = jnp.zeros((H, LANES), jnp.float32)
         for k in range(P):
-            others = [s_s[i, :, :] for i in range(P) if i != k]
-            m = others[0]
-            for o in others[1:]:
-                m = jnp.maximum(m, o)
-            acc = jnp.zeros_like(m)
-            for o in others:
-                acc = acc + jnp.exp(o - m)
-            rest = m + jnp.log(acc)
-            cand = jnp.logaddexp(rest[:, None, :], rh)
-            llks = jnp.sum(counts[:, None, :] * (cand - log_p), axis=0)
+            s_rest = jnp.zeros((n_reads, LANES), jnp.float32)
+            for i in range(P):
+                if i != k:
+                    s_rest = s_rest + es_s[i, :, :]
+            cand = jnp.log(s_rest[:, None, :] + e_rh) + (m - log_p)[:, None, :]
+            llks = jnp.sum(counts[:, None, :] * cand, axis=0)
             cnt = jnp.zeros((H, LANES), jnp.float32)
             for i in range(P):
                 if i != k:
@@ -108,7 +124,9 @@ def _make_kernel(n_steps, ploidy, n_reads, n_alleles):
             choice_idx = jnp.min(cand_idx, axis=0)
             choice_onehot = (idx == choice_idx[None, :]).astype(jnp.float32)
             g_s[k, :, :] = choice_onehot
-            s_s[k, :, :] = jnp.sum(choice_onehot[None] * rh, axis=1)
+            s_new = jnp.sum(choice_onehot[None] * rh, axis=1)
+            s_s[k, :, :] = s_new
+            es_s[k, :, :] = jnp.sum(choice_onehot[None] * e_rh, axis=1)
             dosage = cnt + choice_onehot
             llk = jnp.sum(llks * choice_onehot, axis=0)
         out_g_ref[0, :, :] = dosage
@@ -195,6 +213,9 @@ def pallas_calling_sampler(seed, read_hap, read_counts, *, n_steps, ploidy,
             out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((ploidy, n_alleles, LANES), jnp.float32),
+                pltpu.VMEM((ploidy, n_reads, LANES), jnp.float32),
+                pltpu.VMEM((n_reads, n_alleles, LANES), jnp.float32),
+                pltpu.VMEM((n_reads, LANES), jnp.float32),
                 pltpu.VMEM((ploidy, n_reads, LANES), jnp.float32),
             ],
             interpret=interp,

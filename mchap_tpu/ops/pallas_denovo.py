@@ -264,20 +264,58 @@ def pallas_mutation_sweep(seed, n_alleles_arr, log_reads_cl, counts_cl,
 
 
 def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
-                      p_recomb, p_partial, p_full, base, refresh, stage):
-    """Kernel factory for the full de novo compound step.
+                      p_recomb, p_partial, p_full, base, refresh, stage,
+                      chunk):
+    """Kernel factory for the full de novo compound step (v2 layout).
+
+    Performance-critical layout decisions (vs the v1 one-hot kernel,
+    which saturated at ~7e5 chain-steps/s):
+
+    - genotype state is INTEGER-VALUED ``g_s[P, NB, LANES]`` (f32-coded
+      alleles) instead of one-hot [P, NB, A, LANES]: pairwise row
+      equality, segment labels, copy counts and trace packing become
+      [NB, LANES] compares instead of one-hot dot products, and VMEM
+      state shrinks A-fold;
+    - prepared reads live as ``lr[NB, A, R, LANES]`` so every heavy
+      operand is an [R, LANES] plane — (64, 128) = 8 fully-occupied
+      (8, 128) f32 vregs — instead of the v1 [R, A, LANES] slices whose
+      (A=2, 128) trailing tile wasted 3/4 of each vreg's sublanes;
+    - biallelic fast path: with A == 2 each mutation site has exactly
+      one alternative allele, so candidate scoring needs ONE logaddexp
+      chain, not A;
+    - the recombination and partial-dosage sweeps FUSE over a single
+      shared interval partition: the expensive per-interval work
+      (rh interval partial sums, pairwise equality) is computed once,
+      the recombination MH fires first (per-lane gate), its acceptance
+      permutes the cached partial sums, then the dosage MH reuses them.
+      Each interval step is still an individually valid MH move, so the
+      stationary distribution is unchanged (gated on TPU vs exact
+      enumeration, scripts/gate_pallas_denovo.py);
+    - the full-length dosage step uses rh itself as its interval sums
+      (mask = everything), skipping the partial-sum pass entirely.
+
+    ``chunk`` packs CHUNK independent 128-lane chain groups into one
+    kernel instance with a leading array dimension: the sampler's
+    sequential MH blocks are latency-bound (dependency chains of
+    reductions and transcendentals), so carrying 4x independent data
+    per op amortises instruction latency, and per-lane scalars become
+    (CHUNK, 128) tiles instead of 1/8-occupied single vregs.
 
     ``stage`` gates sub-steps for incremental compile probing:
-    1 = mutation only, 2 = + recombination sweep, 3 = + dosage sweeps.
+    1 = mutation only, 2 = + fused partition sweep, 3 = + full dosage.
     """
     STEPS = n_steps
+    C = chunk
     P, NB, A, R = ploidy, n_base, n_alleles, n_reads
     # cap on interval-partition segments per structural sweep: the
-    # Beta(1,3) break-count distribution puts ~87.5% of its mass below
-    # NB/2 breaks, so capping the Bernoulli partition at NB//2 + 1
-    # segments (extra breaks merge into the last segment) halves the
-    # sequential interval-loop depth at negligible proposal distortion
-    MAXSEG = max(2, min(NB, NB // 2 + 1))
+    # sequential interval loop is the sampler's dominant cost, and the
+    # Bernoulli(~E[Beta(1,3) breaks]/NB) partition has ~NB/4 expected
+    # segments, so capping at NB//4 + 2 segments (extra breaks merge
+    # into the last segment, P(breaks > cap) ~ a few percent) trades a
+    # slightly coarser proposal partition for a ~1/3 shorter loop —
+    # interval choice is state-independent, so the stationary
+    # distribution is untouched (gates: scripts/gate_pallas_denovo.py)
+    MAXSEG = max(2, min(NB, NB // 4 + 2))
     RECOMB_PAIRS = [(a, b) for a in range(P) for b in range(a + 1, P)]
     DOSAGE_PAIRS = [(a, b) for a in range(P) for b in range(P) if a != b]
 
@@ -286,7 +324,7 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
         tile = pl.program_id(0)
         step = pl.program_id(1)
         pltpu.prng_seed(seed_ref[0] + tile * jnp.int32(STEPS) + step)
-        counts = counts_ref[:]  # [R, LANES]
+        counts = counts_ref[:]  # [C, R, LANES]
         log_p = jnp.log(jnp.float32(P))
 
         def uniform(shape):
@@ -295,35 +333,57 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
             )
 
         def uniform_lane():
-            return uniform((8, LANES))[0]  # [LANES]
+            return uniform((8, LANES))[:C]  # [C, LANES]
 
-        def lse_llk(rows):
-            """sum_r counts * (logsumexp_h rows[h] - log P) -> [LANES]."""
-            m = rows[0]
-            for o in rows[1:]:
+        def sel_lr_static(j, val, mrow=None):
+            """lr at static position j gathered by allele value.
+
+            ``val`` [C, LANES] f32 allele values; optional ``mrow``
+            [C, LANES] folds an interval mask into the gather for free.
+            Returns [C, R, LANES].
+            """
+            lr_j = lr_ref[j]  # [C, A, R, LANES] (static leading index)
+            acc = jnp.zeros((C, R, LANES), jnp.float32)
+            for a in range(A):
+                cond = val == jnp.float32(a)
+                if mrow is not None:
+                    cond = cond & (mrow > 0.5)
+                acc = acc + jnp.where(cond[:, None, :], lr_j[:, a], 0.0)
+            return acc
+
+        def lse_of(rs):
+            if not rs:
+                return jnp.full((C, R, LANES), -1e30, jnp.float32)
+            m = rs[0]
+            for o in rs[1:]:
                 m = jnp.maximum(m, o)
             acc = jnp.zeros_like(m)
-            for o in rows:
+            for o in rs:
                 acc = acc + jnp.exp(o - m)
-            return jnp.sum(counts * (m + jnp.log(acc) - log_p), axis=0)
+            return m + jnp.log(acc)
+
+        def lse_llk(rows):
+            """sum_r counts * (logsumexp_h rows[h] - log P) -> [C, LANES]."""
+            return jnp.sum(counts * (lse_of(rows) - log_p), axis=1)
 
         @pl.when(step == 0)
         def _():
             for h in range(P):
                 g_s[h, :, :, :] = g0_ref[h, :, :, :]
 
-        # (re)build rh + llk from the genotype one-hots: at step 0 and
+        # (re)build rh + llk from the genotype values: at step 0 and
         # every ``refresh`` steps to bound incremental-update f32 drift
         @pl.when(jax.lax.rem(step, jnp.int32(refresh)) == 0)
         def _():
-            lr = lr_ref[:]  # [R, NB, A, LANES]
             for h in range(P):
-                rh_s[h, :, :] = jnp.sum(
-                    g_s[h, :, :, :][None] * lr, axis=(1, 2)
-                )
-            llk_s[0, :] = lse_llk([rh_s[h, :, :] for h in range(P)])
+                acc = jnp.zeros((C, R, LANES), jnp.float32)
+                for j in range(NB):
+                    acc = acc + sel_lr_static(j, g_s[h, :, j, :])
+                rh_s[h, :, :, :] = acc
+            llk_s[:, :] = lse_llk([rh_s[h, :, :, :] for h in range(P)])
 
-        llk = llk_s[0, :]
+        llk = llk_s[:, :]  # [C, LANES]
+        nb_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NB, 1), 1)
 
         # ------------------------------------------------------------------
         # 1. mutation compound sweep (systematic h-major site order)
@@ -332,105 +392,170 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
             # logsumexp over the OTHER haplotypes' rh rows is invariant
             # across haplotype h's whole site loop: hoist it
             if P > 1:
-                others = [rh_s[i, :, :] for i in range(P) if i != h]
-                m = others[0]
-                for o in others[1:]:
-                    m = jnp.maximum(m, o)
-                acc = jnp.zeros_like(m)
-                for o in others:
-                    acc = acc + jnp.exp(o - m)
-                rest = m + jnp.log(acc)  # [R, LANES]
+                rest = lse_of([rh_s[i, :, :, :] for i in range(P) if i != h])
             else:
-                rest = jnp.full((R, LANES), -1e30, jnp.float32)
+                rest = jnp.full((C, R, LANES), -1e30, jnp.float32)
 
             def site_body(j, llk, h=h, rest=rest):
-                cur_oh = g_s[h, j, :, :]  # [A, LANES]
-                lr_j = lr_ref[:, j, :, :]  # [R, A, LANES]
-                lr_cur = jnp.sum(cur_oh[None] * lr_j, axis=1)  # [R, LANES]
-                b = rh_s[h, :, :] - lr_cur
-                cand = jnp.logaddexp(rest[:, None, :], b[:, None, :] + lr_j)
-                llks = jnp.sum(
-                    counts[:, None, :] * (cand - log_p), axis=0
-                )  # [A, LANES]
-
-                # haplotype-copy proposal correction (mutation.py:84-139)
-                row_h = g_s[h, :, :, :]  # [NB, A, LANES]
-                col = jnp.concatenate(
-                    [g_s[h2, j, :, :][None] for h2 in range(P)], axis=0
-                )  # [P, A, LANES]
-                dots_list = []
-                for h2 in range(P):
-                    dots_list.append(
-                        jnp.sum(g_s[h2, :, :, :] * row_h, axis=(0, 1))[None]
+                j_oh = (nb_iota == j).astype(jnp.float32)  # [1, NB, 1]
+                row_h = g_s[h, :, :, :]  # [C, NB, LANES]
+                cur = jnp.sum(row_h * j_oh, axis=1)  # [C, LANES]
+                lr_j = lr_ref[j]  # [C, A, R, LANES] (dynamic leading index)
+                lr_cur = jnp.zeros((C, R, LANES), jnp.float32)
+                for a in range(A):
+                    lr_cur = lr_cur + jnp.where(
+                        (cur == jnp.float32(a))[:, None, :], lr_j[:, a], 0.0
                     )
-                dots = jnp.concatenate(dots_list, axis=0)  # [P, LANES]
-                dots_j = jnp.sum(col * cur_oh[None], axis=1)  # [P, LANES]
-                keep2 = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) != h
-                eq_except = ((dots - dots_j) >= jnp.float32(NB - 1)) & keep2
-                counts_a = 1.0 + jnp.sum(
-                    jnp.where(eq_except[:, None, :], col, 0.0), axis=0
-                )  # [A, LANES]
-                count_cur = jnp.sum(counts_a * cur_oh, axis=0)
-                lproposal = jnp.log(counts_a) - jnp.log(count_cur)[None, :]
+                b = rh_s[h, :, :, :] - lr_cur
+                nall_j = jnp.sum(
+                    nall_ref[:].astype(jnp.float32) * j_oh, axis=1
+                )  # [C, LANES]
 
-                mh = (llks - llk[None, :]) + lproposal
-                a_iota = jax.lax.broadcasted_iota(jnp.int32, (A, LANES), 0)
-                nall_j = nall_ref[j, :]  # [LANES] per-lane allele count
-                # nall == 1 -> homozygote-fixed position: provably no-op
-                valid = (
-                    (a_iota < nall_j[None, :])
-                    & (cur_oh < 0.5)
-                    & (nall_j[None, :] > 1)
-                )
-                n_opt = jnp.sum(valid.astype(jnp.float32), axis=0)
-                log_accept = jnp.where(
-                    valid, jnp.minimum(0.0, mh), jnp.float32(-1e30)
-                ) - jnp.log(jnp.maximum(n_opt, 1.0))[None, :]
-                probs = jnp.where(valid, jnp.exp(log_accept), 0.0)
-                p_move = jnp.sum(probs, axis=0)
+                # copy-count proposal correction (mutation.py:84-139):
+                # rows equal to row h outside position j, per other row
+                d = []
+                colv = []
+                for h2 in range(P):
+                    if h2 == h:
+                        d.append(None)
+                        colv.append(cur)
+                        continue
+                    eqrow = (g_s[h2, :, :, :] == row_h).astype(jnp.float32)
+                    d.append(jnp.sum(eqrow, axis=1))  # [C, LANES]
+                    colv.append(jnp.sum(g_s[h2, :, :, :] * j_oh, axis=1))
+                eq_except = []
+                for h2 in range(P):
+                    if h2 == h:
+                        eq_except.append(None)
+                        continue
+                    eqj = (colv[h2] == cur).astype(jnp.float32)
+                    eq_except.append((d[h2] - eqj) >= jnp.float32(NB - 1))
+
+                if A == 2:
+                    # biallelic fast path: exactly one alternative allele
+                    alt = 1.0 - cur
+                    lr_alt = lr_j[:, 0] + lr_j[:, 1] - lr_cur
+                    cand = jnp.logaddexp(rest, b + lr_alt)
+                    llk_alt = jnp.sum(counts * (cand - log_p), axis=1)
+                    count_cur = jnp.ones((C, LANES), jnp.float32)
+                    count_alt = jnp.ones((C, LANES), jnp.float32)
+                    for h2 in range(P):
+                        if h2 == h:
+                            continue
+                        e = eq_except[h2].astype(jnp.float32)
+                        is_cur = (colv[h2] == cur).astype(jnp.float32)
+                        count_cur = count_cur + e * is_cur
+                        count_alt = count_alt + e * (1.0 - is_cur)
+                    mh = (llk_alt - llk) + jnp.log(count_alt) - jnp.log(
+                        count_cur
+                    )
+                    p_acc = jnp.where(
+                        nall_j > 1.5, jnp.exp(jnp.minimum(0.0, mh)), 0.0
+                    )
+                    u = uniform_lane()
+                    moved = u < p_acc
+                    movedf = moved.astype(jnp.float32)
+                    new = cur + movedf * (alt - cur)
+                    g_s[h, :, :, :] = row_h + j_oh * (new - cur)[:, None, :]
+                    rh_s[h, :, :, :] = b + lr_cur + jnp.where(
+                        moved[:, None, :], lr_alt - lr_cur, 0.0
+                    )
+                    return llk + movedf * (llk_alt - llk)
+
+                # general path: score every allele
+                llks = []
+                for a in range(A):
+                    cand = jnp.logaddexp(rest, b + lr_j[:, a])
+                    llks.append(jnp.sum(counts * (cand - log_p), axis=1))
+                counts_a = []
+                for a in range(A):
+                    ca = jnp.ones((C, LANES), jnp.float32)
+                    for h2 in range(P):
+                        if h2 == h:
+                            continue
+                        ca = ca + (
+                            eq_except[h2]
+                            & (colv[h2] == jnp.float32(a))
+                        ).astype(jnp.float32)
+                    counts_a.append(ca)
+                count_cur = jnp.zeros((C, LANES), jnp.float32)
+                for a in range(A):
+                    count_cur = count_cur + jnp.where(
+                        cur == jnp.float32(a), counts_a[a], 0.0
+                    )
+                valid = []
+                n_opt = jnp.zeros((C, LANES), jnp.float32)
+                for a in range(A):
+                    v = (
+                        (jnp.float32(a) < nall_j)
+                        & (cur != jnp.float32(a))
+                        & (nall_j > 1.5)
+                    )
+                    valid.append(v)
+                    n_opt = n_opt + v.astype(jnp.float32)
+                probs = []
+                p_move = jnp.zeros((C, LANES), jnp.float32)
+                for a in range(A):
+                    mh = (llks[a] - llk) + jnp.log(counts_a[a]) - jnp.log(
+                        count_cur
+                    )
+                    pa = jnp.where(
+                        valid[a],
+                        jnp.exp(jnp.minimum(0.0, mh))
+                        / jnp.maximum(n_opt, 1.0),
+                        0.0,
+                    )
+                    probs.append(pa)
+                    p_move = p_move + pa
                 u = uniform_lane()
-                acc2 = jnp.zeros(LANES, jnp.float32)
-                chosen = jnp.zeros(LANES, jnp.int32)
+                acc2 = jnp.zeros((C, LANES), jnp.float32)
+                chosen = jnp.zeros((C, LANES), jnp.float32)
                 for a in range(A):
                     acc2 = acc2 + probs[a]
-                    chosen = chosen + (acc2 <= u).astype(jnp.int32)
+                    chosen = chosen + (acc2 <= u).astype(jnp.float32)
+                chosen = jnp.minimum(chosen, jnp.float32(A - 1))
                 moved = u < p_move
-                choice_oh = (
-                    a_iota == jnp.minimum(chosen, A - 1)[None, :]
-                ).astype(jnp.float32)
-                new_oh = jnp.where(moved[None, :], choice_oh, cur_oh)
-                lr_new = jnp.sum(new_oh[None] * lr_j, axis=1)
-                g_s[h, j, :, :] = new_oh
-                rh_s[h, :, :] = b + lr_new
-                llk_new = jnp.sum(llks * new_oh, axis=0)
-                return llk + jnp.where(moved, llk_new - llk, 0.0)
+                movedf = moved.astype(jnp.float32)
+                new = cur + movedf * (chosen - cur)
+                lr_new = jnp.zeros((C, R, LANES), jnp.float32)
+                for a in range(A):
+                    lr_new = lr_new + jnp.where(
+                        (new == jnp.float32(a))[:, None, :], lr_j[:, a], 0.0
+                    )
+                llk_new = jnp.zeros((C, LANES), jnp.float32)
+                for a in range(A):
+                    llk_new = llk_new + jnp.where(
+                        chosen == jnp.float32(a), llks[a], 0.0
+                    )
+                g_s[h, :, :, :] = row_h + j_oh * (new - cur)[:, None, :]
+                rh_s[h, :, :, :] = b + lr_new
+                return llk + movedf * (llk_new - llk)
 
             llk = jax.lax.fori_loop(
                 jnp.int32(0), jnp.int32(NB), site_body, llk, unroll=False
             )
 
         # ------------------------------------------------------------------
-        # structural machinery (shared by both sweep kinds)
+        # structural machinery
         # ------------------------------------------------------------------
 
         def draw_seg_id():
-            """Per-lane segment ids from Bernoulli breakpoints: [NB, LANES]."""
-            ub = uniform((NB, LANES))
-            pb = pbreak_ref[0, :]  # [LANES]
-            brk = (ub < pb[None, :]).astype(jnp.float32)
+            """Per-lane segment ids from Bernoulli breaks: [C, NB, LANES]."""
+            pb = pbreak_ref[:, 0, :]  # [C, LANES]
             rows = []
-            acc = jnp.zeros(LANES, jnp.float32)
-            rows.append(acc[None])
+            acc = jnp.zeros((C, LANES), jnp.float32)
+            rows.append(acc[:, None, :])
             for j in range(1, NB):
-                acc = jnp.minimum(acc + brk[j], jnp.float32(MAXSEG - 1))
-                rows.append(acc[None])
-            return jnp.concatenate(rows, axis=0)  # [NB, LANES] f32
+                brk_j = (uniform_lane() < pb).astype(jnp.float32)
+                acc = jnp.minimum(acc + brk_j, jnp.float32(MAXSEG - 1))
+                rows.append(acc[:, None, :])
+            return jnp.concatenate(rows, axis=1)  # [C, NB, LANES] f32
 
         def count_kind_options(lab_in, lab_out, kind):
             """# of valid options of ``kind`` given label vectors.
 
-            lab_in/lab_out: python lists of P [LANES] f32 label values.
-            Mirrors recombination_n_options / dosage_n_options.
+            lab_in/lab_out: python lists of P [C, LANES] f32 label
+            values.  Mirrors recombination_n_options / dosage_n_options.
             """
             eq_in = [[(lab_in[i] == lab_in[j]) for j in range(P)]
                      for i in range(P)]
@@ -440,18 +565,18 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
             first_in = []
             count_in = []
             for hh in range(P):
-                ff = jnp.ones(LANES, jnp.float32)
-                fi = jnp.ones(LANES, jnp.float32)
+                ff = jnp.ones((C, LANES), jnp.float32)
+                fi = jnp.ones((C, LANES), jnp.float32)
                 for hp in range(hh):
                     ff = ff * (1.0 - eq_full[hp][hh].astype(jnp.float32))
                     fi = fi * (1.0 - eq_in[hp][hh].astype(jnp.float32))
                 first_full.append(ff > 0.5)
                 first_in.append(fi > 0.5)
-                ci = jnp.zeros(LANES, jnp.float32)
+                ci = jnp.zeros((C, LANES), jnp.float32)
                 for hp in range(P):
                     ci = ci + eq_in[hp][hh].astype(jnp.float32)
                 count_in.append(ci)
-            n = jnp.zeros(LANES, jnp.float32)
+            n = jnp.zeros((C, LANES), jnp.float32)
             if kind == 0:
                 for (a, b2) in RECOMB_PAIRS:
                     v = (first_full[a] & first_full[b2]
@@ -465,46 +590,36 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
                     n = n + v.astype(jnp.float32)
             return n
 
-        def interval_update(mask, gate, llk, kind):
-            """One structural MH step on the interval ``mask`` [NB, LANES].
+        def structural_mh(mask, len_in, rh_int, gate, llk, kind):
+            """One structural MH step given precomputed interval sums.
 
-            kind 0 = recombination (segment exchange between pairs),
-            kind 1 = dosage (receiver segment overwritten by donor).
-            ``gate`` [LANES] f32 0/1 disables acceptance for ungated lanes
-            (the reference's per-chain sub-step coin flip).
+            Returns (llk', srcw, rh_int') where srcw[h][hp] [C, LANES]
+            is the source-row weight matrix of the applied (or identity)
+            move.  State (g_s, rh_s) is updated in place.
             """
-            m3 = mask[:, None, :]  # [NB, 1, LANES]
-            len_in = jnp.sum(mask, axis=0)  # [LANES]
-            lr = lr_ref[:]  # [R, NB, A, LANES]
-
-            # per-haplotype interval partial sums of rh
-            rh_int = []
-            for h in range(P):
-                gm = g_s[h, :, :, :] * m3  # [NB, A, LANES]
-                rh_int.append(jnp.sum(gm[None] * lr, axis=(1, 2)))
-
-            # pairwise one-hot dot products: inside / everywhere
-            dots_in = [[None] * P for _ in range(P)]
-            dots_full = [[None] * P for _ in range(P)]
+            # pairwise row equality inside / outside the interval from
+            # integer-valued rows: one [C, NB, LANES] compare per pair
+            eq_in = [[None] * P for _ in range(P)]
+            eq_out = [[None] * P for _ in range(P)]
             for i in range(P):
-                for j in range(i, P):
-                    prod = g_s[i, :, :, :] * g_s[j, :, :, :]
-                    d_all = jnp.sum(prod, axis=(0, 1))
-                    d_in = jnp.sum(prod * m3, axis=(0, 1))
-                    dots_in[i][j] = dots_in[j][i] = d_in
-                    dots_full[i][j] = dots_full[j][i] = d_all
-            eq_in = [[dots_in[i][j] >= len_in - 0.5 for j in range(P)]
-                     for i in range(P)]
-            eq_out = [[(dots_full[i][j] - dots_in[i][j])
-                       >= (jnp.float32(NB) - len_in) - 0.5
-                       for j in range(P)] for i in range(P)]
+                eq_in[i][i] = jnp.ones((C, LANES), jnp.bool_)
+                eq_out[i][i] = jnp.ones((C, LANES), jnp.bool_)
+                for j2 in range(i + 1, P):
+                    eqpos = (g_s[i, :, :, :] == g_s[j2, :, :, :]).astype(
+                        jnp.float32
+                    )
+                    d_in = jnp.sum(eqpos * mask, axis=1)
+                    d_all = jnp.sum(eqpos, axis=1)
+                    e_in = d_in >= len_in - 0.5
+                    e_out = (d_all - d_in) >= (jnp.float32(NB) - len_in) - 0.5
+                    eq_in[i][j2] = eq_in[j2][i] = e_in
+                    eq_out[i][j2] = eq_out[j2][i] = e_out
 
-            # first-occurrence labels (values = index of first equal row)
             def labels_of(eq):
                 labs = []
                 for hh in range(P):
-                    found = jnp.zeros(LANES, jnp.float32)
-                    lab = jnp.zeros(LANES, jnp.float32)
+                    found = jnp.zeros((C, LANES), jnp.float32)
+                    lab = jnp.zeros((C, LANES), jnp.float32)
                     for hp in range(hh + 1):
                         e = eq[hp][hh].astype(jnp.float32)
                         take = e * (1.0 - found)
@@ -516,16 +631,15 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
             lab_in = labels_of(eq_in)
             lab_out = labels_of(eq_out)
 
-            # dosage bookkeeping for validity clauses
-            eq_fullrow = [[eq_in[i][j] & eq_out[i][j] for j in range(P)]
+            eq_fullrow = [[eq_in[i][j2] & eq_out[i][j2] for j2 in range(P)]
                           for i in range(P)]
             first_full = []
             first_in = []
             count_in = []
             for hh in range(P):
-                ff = jnp.ones(LANES, jnp.float32)
-                fi = jnp.ones(LANES, jnp.float32)
-                ci = jnp.zeros(LANES, jnp.float32)
+                ff = jnp.ones((C, LANES), jnp.float32)
+                fi = jnp.ones((C, LANES), jnp.float32)
+                ci = jnp.zeros((C, LANES), jnp.float32)
                 for hp in range(P):
                     if hp < hh:
                         ff = ff * (1.0 - eq_fullrow[hp][hh].astype(jnp.float32))
@@ -537,21 +651,7 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
 
             pairs = RECOMB_PAIRS if kind == 0 else DOSAGE_PAIRS
             K = len(pairs)
-
-            # shared logsumexp "rest" terms (lse of rows not in the pair)
-            rows0 = [rh_s[h, :, :] for h in range(P)]
-
-            def lse_of(rs):
-                if not rs:
-                    return jnp.full((R, LANES), -1e30, jnp.float32)
-                m = rs[0]
-                for o in rs[1:]:
-                    m = jnp.maximum(m, o)
-                acc = jnp.zeros_like(m)
-                for o in rs:
-                    acc = acc + jnp.exp(o - m)
-                return m + jnp.log(acc)
-
+            rows0 = [rh_s[h, :, :, :] for h in range(P)]
             if kind == 0:
                 rest = {
                     (a, b2): lse_of(
@@ -588,15 +688,15 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
                     li = list(lab_in)
                     li[a] = lab_in[b2]
                 valid.append(v)
-                llk_opts.append(jnp.sum(counts * (cand - log_p), axis=0))
+                llk_opts.append(jnp.sum(counts * (cand - log_p), axis=1))
                 n_return.append(count_kind_options(li, lab_out, kind))
 
-            n_options = jnp.zeros(LANES, jnp.float32)
+            n_options = jnp.zeros((C, LANES), jnp.float32)
             for v in valid:
                 n_options = n_options + v.astype(jnp.float32)
 
             probs = []
-            p_move = jnp.zeros(LANES, jnp.float32)
+            p_move = jnp.zeros((C, LANES), jnp.float32)
             for k in range(K):
                 lp = jnp.log(jnp.maximum(n_options, 1.0)) - jnp.log(
                     jnp.maximum(n_return[k], 1.0)
@@ -612,25 +712,28 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
                 p_move = p_move + pk
 
             u = uniform_lane()
-            acc2 = jnp.zeros(LANES, jnp.float32)
-            chosen = jnp.zeros(LANES, jnp.int32)
+            acc2 = jnp.zeros((C, LANES), jnp.float32)
+            chosen = jnp.zeros((C, LANES), jnp.int32)
             for k in range(K):
                 acc2 = acc2 + probs[k]
                 chosen = chosen + (acc2 <= u).astype(jnp.int32)
             moved = (u < p_move).astype(jnp.float32)
-            ch = []  # chosen-option indicator per option, [LANES] f32
+            ch = []
             for k in range(K):
                 ch.append(
                     moved
                     * (jnp.minimum(chosen, K - 1) == k).astype(jnp.float32)
                 )
 
-            # source-row weights: srcw[h][h'] = P(new row h copies row h')
+            # source-row weights: srcw[h][hp] = P(new row h copies row hp)
             srcw = [[None] * P for _ in range(P)]
             for h in range(P):
                 for hp in range(P):
-                    w = jnp.where(h == hp, 1.0 - moved, 0.0)
-                    w = jnp.broadcast_to(w, (LANES,)) if w.ndim == 0 else w
+                    w = (
+                        1.0 - moved
+                        if h == hp
+                        else jnp.zeros((C, LANES), jnp.float32)
+                    )
                     for k, (a, b2) in enumerate(pairs):
                         if kind == 0:
                             src = b2 if h == a else (a if h == b2 else h)
@@ -641,78 +744,92 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
                     srcw[h][hp] = w
 
             # apply: masked whole-row writes driven by srcw
+            m2 = mask  # [C, NB, LANES]
             new_g = []
             new_rh = []
             for h in range(P):
-                gsum = jnp.zeros((NB, A, LANES), jnp.float32)
-                rsum = jnp.zeros((R, LANES), jnp.float32)
+                gsum = jnp.zeros((C, NB, LANES), jnp.float32)
+                rsum = jnp.zeros((C, R, LANES), jnp.float32)
                 for hp in range(P):
-                    gsum = gsum + srcw[h][hp][None, None, :] * g_s[hp, :, :, :]
-                    rsum = rsum + srcw[h][hp][None, :] * rh_int[hp]
+                    gsum = gsum + srcw[h][hp][:, None, :] * g_s[hp, :, :, :]
+                    rsum = rsum + srcw[h][hp][:, None, :] * rh_int[hp]
                 new_g.append(gsum)
                 new_rh.append(rsum)
             for h in range(P):
                 g_s[h, :, :, :] = (
-                    m3 * new_g[h] + (1.0 - m3) * g_s[h, :, :, :]
+                    m2 * new_g[h] + (1.0 - m2) * g_s[h, :, :, :]
                 )
-                rh_s[h, :, :] = rh_s[h, :, :] - rh_int[h] + new_rh[h]
+                rh_s[h, :, :, :] = rh_s[h, :, :, :] - rh_int[h] + new_rh[h]
 
-            dllk = jnp.zeros(LANES, jnp.float32)
+            dllk = jnp.zeros((C, LANES), jnp.float32)
             for k in range(K):
                 dllk = dllk + ch[k] * (llk_opts[k] - llk)
-            return llk + dllk
+            return llk + dllk, srcw, new_rh
 
         # ------------------------------------------------------------------
-        # 2. recombination sweep  3. partial dosage sweep  4. full dosage
+        # 2. fused recombination + partial-dosage sweep (one shared
+        #    partition; rh interval sums computed once per interval)
         # ------------------------------------------------------------------
         if stage >= 2 and P > 1:
             gate_r = (uniform_lane() <= jnp.float32(p_recomb)).astype(
                 jnp.float32
             )
-            seg_r = draw_seg_id()
-
-            def recomb_body(i, llk):
-                mask = (seg_r == i.astype(jnp.float32)).astype(jnp.float32)
-                return interval_update(mask, gate_r, llk, 0)
-
-            llk = jax.lax.fori_loop(
-                jnp.int32(0), jnp.int32(MAXSEG), recomb_body, llk, unroll=False
-            )
-
-        if stage >= 3 and P > 1:
             gate_d = (uniform_lane() <= jnp.float32(p_partial)).astype(
                 jnp.float32
             )
-            seg_d = draw_seg_id()
+            seg = draw_seg_id()
 
-            def dosage_body(i, llk):
-                mask = (seg_d == i.astype(jnp.float32)).astype(jnp.float32)
-                return interval_update(mask, gate_d, llk, 1)
+            def seg_body(i, llk):
+                mask = (seg == i.astype(jnp.float32)).astype(jnp.float32)
+                len_in = jnp.sum(mask, axis=1)  # [C, LANES]
+                # per-haplotype interval partial sums (the heavy pass)
+                rh_int = []
+                for h in range(P):
+                    acc = jnp.zeros((C, R, LANES), jnp.float32)
+                    for j in range(NB):
+                        acc = acc + sel_lr_static(
+                            j, g_s[h, :, j, :], mrow=mask[:, j, :]
+                        )
+                    rh_int.append(acc)
+                llk, srcw, rh_int_new = structural_mh(
+                    mask, len_in, rh_int, gate_r, llk, 0
+                )
+                if stage >= 3:
+                    # dosage MH on the SAME interval, reusing the
+                    # permuted interval sums
+                    llk, _, _ = structural_mh(
+                        mask, len_in, rh_int_new, gate_d, llk, 1
+                    )
+                return llk
 
             llk = jax.lax.fori_loop(
-                jnp.int32(0), jnp.int32(MAXSEG), dosage_body, llk, unroll=False
+                jnp.int32(0), jnp.int32(MAXSEG), seg_body, llk, unroll=False
             )
 
+        # ------------------------------------------------------------------
+        # 3. full-length dosage step: the interval is everything, so the
+        #    interval sums ARE the rh rows — no partial-sum pass needed
+        # ------------------------------------------------------------------
+        if stage >= 3 and P > 1:
             gate_f = (uniform_lane() <= jnp.float32(p_full)).astype(
                 jnp.float32
             )
-            llk = interval_update(
-                jnp.ones((NB, LANES), jnp.float32), gate_f, llk, 1
+            rh_full = [rh_s[h, :, :, :] for h in range(P)]
+            llk, _, _ = structural_mh(
+                jnp.ones((C, NB, LANES), jnp.float32),
+                jnp.full((C, LANES), jnp.float32(NB)),
+                rh_full, gate_f, llk, 1,
             )
 
         # ------------------------------------------------------------------
         # trace write: base-packed genotype + llk
         # ------------------------------------------------------------------
-        llk_s[0, :] = llk
-        a_iof = jax.lax.broadcasted_iota(jnp.int32, (NB, A, LANES), 1).astype(
-            jnp.float32
-        )
-        packed = jnp.zeros((NB, LANES), jnp.float32)
+        llk_s[:, :] = llk
+        packed = jnp.zeros((C, NB, LANES), jnp.float32)
         for h in range(P):
-            alle = jnp.sum(g_s[h, :, :, :] * a_iof, axis=1)  # [NB, LANES]
-            packed = packed + alle * jnp.float32(base ** h)
-        gtrace_ref[0, :, :] = packed.astype(jnp.int32)
-        lltrace_ref[0, 0, :] = llk
+            packed = packed + g_s[h, :, :, :] * jnp.float32(base ** h)
+        gtrace_ref[0, :, :, :] = packed.astype(jnp.int32)
+        lltrace_ref[0, :, 0, :] = llk
 
     return kern
 
@@ -776,51 +893,89 @@ def pallas_denovo_sampler(
     R, NB, A, n_chains = log_reads_cl.shape
     P = ploidy
     assert n_chains % LANES == 0
-    n_tiles = n_chains // LANES
+    # chain groups ("chunks") per kernel instance: the largest of 4/2/1
+    # that divides the lane-tile count (latency amortisation, see
+    # _make_full_kernel); VMEM budget: lr is NB*A*R*CHUNK*128*4 bytes,
+    # double-buffered
+    n_lane_tiles = n_chains // LANES
+    chunk = 1
+    for c in (4, 2):
+        lr_bytes = NB * A * R * c * LANES * 4
+        if n_lane_tiles % c == 0 and lr_bytes <= 5 * 1024 * 1024:
+            chunk = c
+            break
+    n_tiles = n_lane_tiles // chunk
+    sc = n_tiles * chunk
     base = _next_pow2(max(A, 2))
     assert float(base) ** P <= 2.0 ** 24, "trace packing exceeds f32 ints"
     kern = _make_full_kernel(
         n_steps, P, NB, A, R, p_recomb, p_partial, p_full, base,
-        refresh, stage,
+        refresh, stage, chunk,
     )
+
+    def _pack(x, lead):
+        """[..., n_chains] -> [lead..., sc, ..., LANES] chunk packing."""
+        shape = x.shape[:-1]
+        x = x.reshape(shape + (n_tiles, chunk, LANES))
+        # move (n_tiles, chunk) in front of the per-chain payload dims
+        nd = len(shape)
+        perm = tuple(range(lead)) + (nd, nd + 1) + tuple(
+            range(lead, nd)
+        ) + (nd + 2,)
+        x = jnp.transpose(x, perm)
+        return x.reshape(
+            x.shape[:lead] + (sc,) + x.shape[lead + 2:]
+        )
+
     with jax.enable_x64(False):
-        g0 = (
-            g_init[:, :, None, :]
-            == jax.lax.broadcasted_iota(jnp.int32, (1, 1, A, 1), 2)
-        ).astype(jnp.float32)  # [P, NB, A, C]
+        # kernel-side layout: [NB, sc, A, R, LANES] so every heavy
+        # operand is a [CHUNK, R, LANES] block of fully-occupied
+        # (8, 128) vregs; the one-time XLA transpose is negligible vs
+        # n_steps of on-core sampling
+        lr_nbar = jnp.transpose(
+            jnp.asarray(log_reads_cl, jnp.float32), (1, 2, 0, 3)
+        )  # [NB, A, R, C]
+        lr_p = _pack(lr_nbar, 1)  # [NB, sc, A, R, LANES]
+        counts_p = _pack(jnp.asarray(counts_cl, jnp.float32), 0)
+        nall_p = _pack(jnp.asarray(nall_cl, jnp.int32), 0)
+        pbreak_p = _pack(jnp.asarray(pbreak_cl, jnp.float32), 0)
+        g0_p = _pack(jnp.asarray(g_init, jnp.float32), 1)  # [P, sc, NB, L]
         out_shapes = (
-            jax.ShapeDtypeStruct((n_steps, NB, n_chains), jnp.int32),
-            jax.ShapeDtypeStruct((n_steps, 1, n_chains), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, sc, NB, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_steps, sc, 1, LANES), jnp.float32),
         )
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (NB, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (R, NB, A, LANES),
-                lambda i, j: (0, 0, 0, i),
+                (chunk, NB, LANES), lambda i, j: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (R, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM
+                (chunk, 1, LANES), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (P, NB, A, LANES),
-                lambda i, j: (0, 0, 0, i),
+                (NB, chunk, A, R, LANES),
+                lambda i, j: (0, i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (chunk, R, LANES), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (P, chunk, NB, LANES),
+                lambda i, j: (0, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ]
         out_specs = (
             pl.BlockSpec(
-                (1, NB, LANES), lambda i, j: (j, 0, i),
+                (1, chunk, NB, LANES), lambda i, j: (j, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, LANES), lambda i, j: (j, 0, i),
+                (1, chunk, 1, LANES), lambda i, j: (j, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         )
@@ -832,19 +987,25 @@ def pallas_denovo_sampler(
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((P, NB, A, LANES), jnp.float32),
-                pltpu.VMEM((P, R, LANES), jnp.float32),
-                pltpu.VMEM((1, LANES), jnp.float32),
+                pltpu.VMEM((P, chunk, NB, LANES), jnp.float32),
+                pltpu.VMEM((P, chunk, R, LANES), jnp.float32),
+                pltpu.VMEM((chunk, LANES), jnp.float32),
             ],
             interpret=interp,
         )(
             jnp.asarray(seed, jnp.int32).reshape(1),
-            jnp.asarray(nall_cl, jnp.int32),
-            jnp.asarray(pbreak_cl, jnp.float32),
-            jnp.asarray(log_reads_cl, jnp.float32),
-            jnp.asarray(counts_cl, jnp.float32),
-            g0,
+            nall_p,
+            pbreak_p,
+            lr_p,
+            counts_p,
+            g0_p,
         )
+        # unpack chain axis: [steps, sc, NB, L] -> [steps, NB, n_chains]
+        gtrace = jnp.transpose(
+            gtrace.reshape(n_steps, n_tiles, chunk, NB, LANES),
+            (0, 3, 1, 2, 4),
+        ).reshape(n_steps, NB, n_chains)
+        llks = lltrace.reshape(n_steps, n_chains)
         # unpack base-coded alleles -> [n_steps, P, NB, n_chains] int8
         shifts = jnp.asarray(
             [base ** h for h in range(P)], jnp.int32
@@ -852,4 +1013,4 @@ def pallas_denovo_sampler(
         alleles = (
             gtrace[:, None, :, :] // shifts[None, :, None, None]
         ) % jnp.int32(base)
-    return alleles.astype(jnp.int8), lltrace[:, 0, :]
+    return alleles.astype(jnp.int8), llks
