@@ -11,16 +11,20 @@ API shape mirrors the pysam subset used by the reference
 ``get_aligned_pairs(matches_only=True, with_seq=True)`` (reference
 sequence reconstructed from the MD tag when present).
 
-Region fetch loads and position-indexes each contig's records once per
-file handle (sufficient for the target workloads where loci stream
-sequentially; a native BGZF + .bai fast path can slot in underneath
-without changing this API).
+Region fetch is index-driven when a ``.bai``/``.csi`` sits next to the
+BAM (the reference's htslib pattern, ``mchap/io/bam.py:128``): only the
+BGZF blocks whose chunks can overlap the region are decompressed, so
+per-locus cost is proportional to the region, not the file.  Without an
+index the reader falls back to decoding and position-indexing each
+contig once per handle, with binary-searched region lookups.
 """
 
 import gzip
 import struct
 
 import numpy as np
+
+from mchap_tpu.io import indexing
 
 _SEQ_CODES = "=ACMGRSVTWYHKDBN"
 _CIGAR_OPS = "MIDNSHP=X"
@@ -396,6 +400,10 @@ class AlignmentFile:
         self._path = str(path)
         self._reference_filename = reference_filename
         self._records_by_contig = None
+        self._pos_index = {}  # contig -> (pos array, max read span)
+        self._region_index = None  # lazily-loaded .bai/.csi
+        self._region_index_tried = False
+        self._bgzf = None
         with open(self._path, "rb") as f:
             magic = f.read(4)
         if magic[:2] == b"\x1f\x8b":
@@ -541,14 +549,75 @@ class AlignmentFile:
             lib.bam_free(handle)
         return True
 
+    def _load_region_index(self):
+        """Lazily read the on-disk .bai/.csi (BAM only)."""
+        if self._region_index_tried:
+            return self._region_index
+        self._region_index_tried = True
+        if self._format != "BAM":
+            return None
+        kind, idx_path = indexing.find_index(self._path)
+        try:
+            if kind == "bai":
+                self._region_index = indexing.read_bai(idx_path)
+            elif kind == "csi":
+                self._region_index = indexing.read_csi(idx_path)
+        except (OSError, ValueError):
+            self._region_index = None  # unreadable index: full-decode path
+        return self._region_index
+
+    def _fetch_indexed(self, contig, start, stop):
+        """Decode only the BGZF chunks whose records can overlap
+        [start, stop) (SAM-spec binning; parity with htslib fetch)."""
+        index = self._region_index
+        ref_id = next(
+            (i for i, (name, _) in enumerate(self._refs) if name == contig), -1
+        )
+        beg = 0 if start is None else max(0, int(start))
+        end = (1 << 29) if stop is None else int(stop)
+        if self._bgzf is None:
+            self._bgzf = indexing.BGZFFile(self._path)
+        for vbeg, vend in index.chunks(ref_id, beg, end):
+            data = self._bgzf.stream(vbeg, vend)
+            for read in _decode_bam_records(data, self._refs):
+                if read.reference_name != contig:
+                    continue
+                if start is not None and read.reference_end <= start:
+                    continue
+                if stop is not None and read.pos >= stop:
+                    continue
+                yield read
+
+    def _bucket_range(self, contig, start, stop):
+        """Slice of a contig bucket that can overlap [start, stop),
+        found by binary search (pos sorted; start bound widened by the
+        bucket's maximum reference span)."""
+        bucket = self._records_by_contig.get(contig, [])
+        if not bucket or (start is None and stop is None):
+            return bucket
+        cached = self._pos_index.get(contig)
+        if cached is None:
+            pos = np.fromiter((r.pos for r in bucket), np.int64, count=len(bucket))
+            span = max(r.reference_end - r.pos for r in bucket)
+            cached = (pos, span)
+            self._pos_index[contig] = cached
+        pos, span = cached
+        lo = 0 if start is None else int(np.searchsorted(pos, start - span, "left"))
+        hi = len(bucket) if stop is None else int(np.searchsorted(pos, stop, "left"))
+        return bucket[lo:hi]
+
     def fetch(self, contig=None, start=None, stop=None):
         """Yield mapped reads overlapping [start, stop) of ``contig``."""
-        self._load_records()
         if contig is None:
+            self._load_records()
             for bucket in self._records_by_contig.values():
                 yield from bucket
             return
-        for read in self._records_by_contig.get(contig, []):
+        if self._records_by_contig is None and self._load_region_index() is not None:
+            yield from self._fetch_indexed(contig, start, stop)
+            return
+        self._load_records()
+        for read in self._bucket_range(contig, start, stop):
             if start is not None and read.reference_end <= start:
                 continue
             if stop is not None and read.pos >= stop:
@@ -557,6 +626,10 @@ class AlignmentFile:
 
     def close(self):
         self._records_by_contig = None
+        self._pos_index = {}
+        if self._bgzf is not None:
+            self._bgzf.close()
+            self._bgzf = None
 
     def __enter__(self):
         return self

@@ -15,6 +15,18 @@ from mchap_tpu.io.vcflite import VariantFile
 
 __all__ = ["SNP", "Locus", "LocusPrior"]
 
+_VARIANT_HANDLES = {}
+
+
+def _variant_handle(path):
+    """Shared read-only VariantFile per path (tabix chunks or parsed
+    records stay cached across the locus stream)."""
+    handle = _VARIANT_HANDLES.get(str(path))
+    if handle is None:
+        handle = VariantFile(path)
+        _VARIANT_HANDLES[str(path)] = handle
+    return handle
+
 
 @dataclass(frozen=True, order=True)
 class SNP:
@@ -99,25 +111,27 @@ class Locus:
         duplicate merge); reference io/loci.py:94-135."""
         variants = []
         positions = set()
-        with VariantFile(vcf) as f:
-            for var in f.fetch(self.contig, self.start, self.stop):
-                alleles = (var.ref,) + (var.alts or ())
-                if (var.stop - var.start == 1) and all(len(a) == 1 for a in alleles):
-                    snp = SNP(
-                        contig=var.contig,
-                        start=var.start,
-                        stop=var.stop,
-                        name=var.id if var.id else ".",
-                        alleles=alleles,
-                    )
-                    if snp.start in positions:
-                        variants = [
-                            _merge_snps(s, snp) if s.start == snp.start else s
-                            for s in variants
-                        ]
-                    else:
-                        variants.append(snp)
-                        positions.add(snp.start)
+        # shared per-path handle: header parsed and records indexed once,
+        # instead of reopening (and rescanning) the VCF for every locus
+        f = _variant_handle(vcf)
+        for var in f.fetch(self.contig, self.start, self.stop):
+            alleles = (var.ref,) + (var.alts or ())
+            if (var.stop - var.start == 1) and all(len(a) == 1 for a in alleles):
+                snp = SNP(
+                    contig=var.contig,
+                    start=var.start,
+                    stop=var.stop,
+                    name=var.id if var.id else ".",
+                    alleles=alleles,
+                )
+                if snp.start in positions:
+                    variants = [
+                        _merge_snps(s, snp) if s.start == snp.start else s
+                        for s in variants
+                    ]
+                else:
+                    variants.append(snp)
+                    positions.add(snp.start)
         locus = self.set(variants=tuple(variants))
         if locus.sequence:
             locus.validate_reference_alleles()

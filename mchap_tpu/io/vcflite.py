@@ -4,12 +4,19 @@ Reads plain or bgzip/gzip-compressed VCF text; INFO values are typed
 using the header declarations (Flag presence, Number=1 scalars, tuples
 otherwise) to match the pysam record surface the reference relies on
 (``record.info``, ``record.ref``, ``record.alts``, coordinates).
-Region fetch scans the (small) record stream and filters by overlap; a
-tabix-index fast path can slot underneath without changing the API.
+Region fetch is tabix-driven when a ``.tbi``/``.csi`` sits next to a
+bgzipped file (the reference's pattern via pysam, ``mchap/io/loci.py``):
+only the BGZF blocks overlapping the region are decompressed and
+parsed.  Unindexed files are parsed once into per-contig, start-sorted
+record lists and regions resolved by binary search — never a rescan of
+the file per locus.
 """
 
+import bisect
 import gzip
 from dataclasses import dataclass, field
+
+from mchap_tpu.io import indexing
 
 
 def _open_text(path):
@@ -70,6 +77,10 @@ class VariantFile:
         self._format_types = {}
         self.samples = []
         self._header_lines = []
+        self._tabix = None  # lazily-loaded .tbi/.csi
+        self._tabix_tried = False
+        self._bgzf = None
+        self._records_by_contig = None  # unindexed fallback cache
         self._parse_header()
 
     def _parse_header(self):
@@ -147,32 +158,93 @@ class VariantFile:
             info_numbers=self._info_types,
         )
 
+    def _load_tabix(self):
+        """Lazily read an on-disk .tbi next to a bgzipped file."""
+        if self._tabix_tried:
+            return self._tabix
+        self._tabix_tried = True
+        import os
+
+        tbi = self._path + ".tbi"
+        try:
+            if os.path.exists(tbi) and indexing.is_bgzf(self._path):
+                self._tabix = indexing.read_tbi(tbi)
+        except (OSError, ValueError):
+            self._tabix = None  # unreadable index: cached-scan path
+        return self._tabix
+
+    def _fetch_tabix(self, contig, start, stop):
+        """Parse only the BGZF chunks whose lines can overlap
+        [start, stop) (tabix binning; parity with pysam fetch)."""
+        if self._bgzf is None:
+            self._bgzf = indexing.BGZFFile(self._path)
+        beg = 0 if start is None else max(0, int(start))
+        end = (1 << 29) if stop is None else int(stop)
+        for vbeg, vend in self._tabix.chunks(contig, beg, end):
+            for line in self._bgzf.stream(vbeg, vend).decode().splitlines():
+                if line.startswith("#") or not line.startswith(contig + "\t"):
+                    continue
+                record = self._parse_line(line)
+                if record.chrom != contig:
+                    continue
+                if start is not None and record.stop <= start:
+                    continue
+                if stop is not None and record.start >= stop:
+                    continue
+                yield record
+
+    def _load_record_cache(self):
+        """Parse the whole file once into start-sorted per-contig lists
+        (unindexed fallback: O(file) once, O(log n) per region)."""
+        if self._records_by_contig is not None:
+            return
+        buckets = {}
+        with _open_text(self._path) as f:
+            for line in f:
+                if line.startswith("#") or not line.strip():
+                    continue
+                record = self._parse_line(line)
+                buckets.setdefault(record.chrom, []).append(record)
+        cache = {}
+        for chrom, records in buckets.items():
+            records.sort(key=lambda r: r.start)
+            starts = [r.start for r in records]
+            span = max(r.stop - r.start for r in records)
+            cache[chrom] = (records, starts, span)
+        self._records_by_contig = cache
+
     def fetch(self, contig=None, start=None, stop=None):
         """Yield records, optionally restricted to those overlapping
         [start, stop) of ``contig`` (pysam fetch semantics)."""
-        with _open_text(self._path) as f:
-            for line in f:
-                if line.startswith("#"):
-                    continue
-                if contig is not None:
-                    # cheap pre-filter on the contig column
-                    if not line.startswith(contig + "\t"):
+        if contig is None:
+            with _open_text(self._path) as f:
+                for line in f:
+                    if line.startswith("#"):
                         continue
-                record = self._parse_line(line)
-                if contig is not None:
-                    if record.chrom != contig:
-                        continue
-                    if start is not None and record.stop <= start:
-                        continue
-                    if stop is not None and record.start >= stop:
-                        continue
-                yield record
+                    yield self._parse_line(line)
+            return
+        if self._records_by_contig is None and self._load_tabix() is not None:
+            yield from self._fetch_tabix(contig, start, stop)
+            return
+        self._load_record_cache()
+        records, starts, span = self._records_by_contig.get(contig, ([], [], 0))
+        lo = 0 if start is None else bisect.bisect_left(starts, start - span)
+        hi = len(records) if stop is None else bisect.bisect_left(starts, stop)
+        for record in records[lo:hi]:
+            if start is not None and record.stop <= start:
+                continue
+            if stop is not None and record.start >= stop:
+                continue
+            yield record
 
     def __iter__(self):
         return self.fetch()
 
     def close(self):
-        pass
+        self._records_by_contig = None
+        if self._bgzf is not None:
+            self._bgzf.close()
+            self._bgzf = None
 
     def __enter__(self):
         return self
