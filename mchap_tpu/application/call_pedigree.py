@@ -18,10 +18,13 @@ from mchap_tpu.application.arguments import (
 from mchap_tpu.application.baseclass import (
     ALT,
     FILTER,
+    LOCUS_ASSEMBLY_ERROR,
     REF,
     SAMPLE_ASSEMBLY_ERROR,
+    LocusAssemblyError,
     SampleAssemblyError,
 )
+from mchap_tpu.utils import timing
 from mchap_tpu.application.call_exact import _fill_invalid_sampledata
 from mchap_tpu.encoding.integer import minimum_error_correction
 from mchap_tpu.io import vcf as VCF
@@ -63,8 +66,9 @@ class program(call_baseclass.program):
         arguments = collect_call_pedigree_mcmc_program_arguments(args)
         return cls(cli_command=command, **arguments)
 
-    def call_sample_genotypes(self, data):
-        """Joint pedigree MCMC call; reference call_pedigree.py:63-260."""
+    def _setup_locus(self, data):
+        """Panel masking + invalid-scenario handling; returns a setup dict
+        or None when the locus is filtered (NOA/AF0)."""
         haplotypes = data.locus.encode_haplotypes()
         prior_frequencies = data.locus.frequencies
         mask_reference_allele = data.locus.mask_reference_allele
@@ -91,15 +95,22 @@ class program(call_baseclass.program):
             _fill_invalid_sampledata(data)
             for sample in data.samples:
                 data.sampledata[VCF.FORMAT_PEDERR][sample] = np.nan
-            return data
+            return None
         if (prior_frequencies is not None) and np.any(np.isnan(prior_frequencies)):
             data.columndata[FILTER].append(VCF.AF0.id)
             _fill_invalid_sampledata(data)
             for sample in data.samples:
                 data.sampledata[VCF.FORMAT_PEDERR][sample] = np.nan
-            return data
+            return None
+        return dict(
+            haplotypes=haplotypes,
+            mcmc_haplotypes=mcmc_haplotypes,
+            mcmc_prior_frequencies=mcmc_prior_frequencies,
+            mcmc_haplotype_labels=mcmc_haplotype_labels,
+        )
 
-        # pad all samples' reads into one array (call_pedigree.py:138-150)
+    def _padded_sample_reads(self, data):
+        """Pad all samples' reads into one array (call_pedigree.py:138-150)."""
         n_samples = len(data.samples)
         max_reads = max(
             max((len(data.read_dists[s]) for s in data.samples), default=0), 1
@@ -113,8 +124,15 @@ class program(call_baseclass.program):
             _counts = data.read_counts[sample]
             sample_reads[i, 0 : len(_reads)] = _reads
             sample_read_counts[i, 0 : len(_counts)] = _counts
+        return sample_reads, sample_read_counts
 
-        # pedigree tables -> index arrays (call_pedigree.py:152-171)
+    def _pedigree_arrays(self, data):
+        """Pedigree tables -> index arrays (call_pedigree.py:152-171);
+        identical for every locus, so cached on the program."""
+        cached = getattr(self, "_pedigree_arrays_cache", None)
+        if cached is not None:
+            return cached
+        n_samples = len(data.samples)
         position = {s: i for i, s in enumerate(data.samples)}
         position[None] = -1
         sample_ploidy = np.array([data.sample_ploidy[s] for s in data.samples])
@@ -133,6 +151,25 @@ class program(call_baseclass.program):
             gamete_tau[i] = self.gamete_ploidy[s]
             gamete_lambda[i] = self.gamete_ibd[s]
             gamete_error[i] = self.gamete_error[s]
+        cached = (
+            sample_ploidy,
+            parent_indices,
+            gamete_tau,
+            gamete_lambda,
+            gamete_error,
+        )
+        object.__setattr__(self, "_pedigree_arrays_cache", cached)
+        return cached
+
+    def call_sample_genotypes(self, data):
+        """Joint pedigree MCMC call; reference call_pedigree.py:63-260."""
+        setup = self._setup_locus(data)
+        if setup is None:
+            return data
+
+        sample_reads, sample_read_counts = self._padded_sample_reads(data)
+        (sample_ploidy, parent_indices, gamete_tau, gamete_lambda,
+         gamete_error) = self._pedigree_arrays(data)
 
         pedigree_trace = (
             PedigreeCallingMCMC(
@@ -141,8 +178,8 @@ class program(call_baseclass.program):
                 gamete_tau=gamete_tau,
                 gamete_lambda=np.nan_to_num(gamete_lambda),
                 gamete_error=np.nan_to_num(gamete_error, nan=1.0),
-                haplotypes=mcmc_haplotypes,
-                frequencies=mcmc_prior_frequencies,
+                haplotypes=setup["mcmc_haplotypes"],
+                frequencies=setup["mcmc_prior_frequencies"],
                 steps=self.mcmc_steps,
                 annealing=self.mcmc_burn,
                 chains=self.mcmc_chains,
@@ -151,6 +188,15 @@ class program(call_baseclass.program):
             .fit(sample_reads=sample_reads, sample_read_counts=sample_read_counts)
             .burn(self.mcmc_burn)
         )
+        return self._finish_locus(data, setup, pedigree_trace)
+
+    def _finish_locus(self, data, setup, pedigree_trace):
+        """Posterior summarisation of every sample from the joint trace
+        (reference call_pedigree.py:172-260)."""
+        haplotypes = setup["haplotypes"]
+        mcmc_haplotype_labels = setup["mcmc_haplotype_labels"]
+        (sample_ploidy, parent_indices, gamete_tau, gamete_lambda,
+         _gamete_error) = self._pedigree_arrays(data)
         pedigree_posterior_error = pedigree_trace.incongruence(
             sample_ploidy=sample_ploidy,
             sample_parents=parent_indices,
@@ -211,3 +257,103 @@ class program(call_baseclass.program):
                 message = SAMPLE_ASSEMBLY_ERROR.format(sample=sample)
                 raise SampleAssemblyError(message) from e
         return data
+
+    def _call_locus_block(self, loci):
+        """Call a block of loci with ONE joint-pedigree device program.
+
+        Cross-locus streaming: the same pedigree runs at every locus, so
+        the loci pad into a single vmapped batch
+        (models/pedigree.py ``fit_pedigree_multi``) instead of one
+        device round-trip per locus — the axis the reference
+        parallelises with forked processes (baseclass.py:360-394).
+        Returns formatted VCF record lines in input order.
+        """
+        from mchap_tpu.models.pedigree import fit_pedigree_multi
+
+        prepared = []
+        with timing.stage("encode_reads"):
+            for locus in loci:
+                try:
+                    data = self._locus_data(locus, self.sample_bams)
+                    self.encode_sample_reads(data)
+                    setup = self._setup_locus(data)
+                except Exception as e:
+                    message = LOCUS_ASSEMBLY_ERROR.format(
+                        name=locus.name,
+                        contig=locus.contig,
+                        start=locus.start,
+                        stop=locus.stop,
+                    )
+                    raise LocusAssemblyError(message) from e
+                prepared.append((locus, data, setup))
+
+        problems = []
+        indices = []
+        arrays = None
+        for idx, (locus, data, setup) in enumerate(prepared):
+            if setup is None or setup["mcmc_haplotypes"].shape[1] == 0:
+                continue  # filtered locus or zero-variant shortcut
+            sample_reads, sample_read_counts = self._padded_sample_reads(data)
+            if arrays is None:
+                arrays = self._pedigree_arrays(data)
+            problems.append(
+                dict(
+                    sample_reads=sample_reads,
+                    sample_read_counts=sample_read_counts,
+                    haplotypes=setup["mcmc_haplotypes"],
+                    frequencies=setup["mcmc_prior_frequencies"],
+                )
+            )
+            indices.append(idx)
+
+        traces = {}
+        with timing.stage("device_sampler"):
+            if problems:
+                (sample_ploidy, parent_indices, gamete_tau, gamete_lambda,
+                 gamete_error) = arrays
+                try:
+                    fitted = fit_pedigree_multi(
+                        problems,
+                        sample_ploidy=sample_ploidy,
+                        sample_parents=parent_indices,
+                        gamete_tau=gamete_tau,
+                        gamete_lambda=np.nan_to_num(gamete_lambda),
+                        gamete_error=np.nan_to_num(gamete_error, nan=1.0),
+                        steps=self.mcmc_steps,
+                        chains=self.mcmc_chains,
+                        random_seed=self.random_seed,
+                    )
+                except Exception:
+                    fitted = None  # per-locus fallback below
+                if fitted is not None:
+                    timing.count_sampler_steps(
+                        len(problems)
+                        * len(sample_ploidy)
+                        * self.mcmc_chains
+                        * self.mcmc_steps
+                    )
+                    for idx, t in zip(indices, fitted):
+                        traces[idx] = t.burn(self.mcmc_burn)
+
+        results = []
+        with timing.stage("summarize_format"):
+            for idx, (locus, data, setup) in enumerate(prepared):
+                try:
+                    if setup is not None:
+                        trace = traces.get(idx)
+                        if trace is not None:
+                            self._finish_locus(data, setup, trace)
+                        else:
+                            self.call_sample_genotypes(data)
+                    self.sumarise_vcf_record(data)
+                    results.append(data.format_vcf_record())
+                except Exception as e:
+                    message = LOCUS_ASSEMBLY_ERROR.format(
+                        name=locus.name,
+                        contig=locus.contig,
+                        start=locus.start,
+                        stop=locus.stop,
+                    )
+                    raise LocusAssemblyError(message) from e
+                timing.tick_loci(1, sample_calls=len(data.samples))
+        return results

@@ -16,6 +16,9 @@ from mchap_tpu.ops import calling_mcmc as _calling_kernel
 from mchap_tpu.ops import pedigree_mcmc as _kernel
 from mchap_tpu.ops.likelihood import prepare_reads, read_hap_loglik
 
+# reference pedigree/classes.py:54-59
+_STEP_TYPES = {"Gibbs": 0, "Metropolis-Hastings": 1}
+
 
 @dataclass
 class PedigreeCallingMCMC:
@@ -110,6 +113,7 @@ class PedigreeCallingMCMC:
             jnp.asarray(pair_blankets),
             n_steps=self.steps,
             swap_parental_alleles=self.swap_parental_alleles and len(parental_pairs) > 0,
+            step_type=_STEP_TYPES[self.step_type],
         )
         trace = np.asarray(trace, np.int16)  # [chains, steps, S, maxp]
 
@@ -122,6 +126,161 @@ class PedigreeCallingMCMC:
                     trace[:, :, j, :], ploidy - max_ploidy, axis=-1
                 )
         return PedigreeAllelesMultiTrace(trace, n_allele=n_haps)
+
+
+def fit_pedigree_multi(
+    problems,
+    sample_ploidy,
+    sample_parents,
+    gamete_tau,
+    gamete_lambda,
+    gamete_error,
+    steps=2000,
+    chains=1,
+    random_seed=None,
+    step_type="Gibbs",
+    swap_parental_alleles=True,
+):
+    """Fit the pedigree sampler for MANY LOCI of the same pedigree at once.
+
+    ``problems``: list of dicts with keys ``sample_reads``
+    (f[S, R_i, P_i, N_i]), ``sample_read_counts`` (i[S, R_i]),
+    ``haplotypes`` (i[H_i, P_i]) and optionally ``frequencies`` (f[H_i]).
+    The pedigree structure (ploidy, parents, gamete tables) is shared —
+    the tool calls one pedigree per locus over the same samples.  Panels
+    are padded to the block's max size with -inf read-hap columns and
+    zero prior frequency (masked out of both slot kernels via
+    ``n_valid``), reads to a power-of-two bucket; the locus axis is then
+    one vmapped device program, sharded over the mesh when more than one
+    device is visible.  This is the same cross-locus streaming move as
+    ``fit_calling_multi`` — the axis the reference parallelises with one
+    forked process per locus (reference application/baseclass.py:360-394).
+
+    Returns one PedigreeAllelesMultiTrace per problem.
+    """
+    from mchap_tpu.ops.likelihood import MIN_LOG
+
+    n_problems = len(problems)
+    sample_ploidy = np.asarray(sample_ploidy)
+    n_samples = len(sample_ploidy)
+    max_ploidy = int(sample_ploidy.max())
+    h_max = max(len(p["haplotypes"]) for p in problems)
+
+    rh_list = []
+    counts_list = []
+    freq_rows = []
+    for p in problems:
+        log_reads = prepare_reads(np.asarray(p["sample_reads"], float))
+        rh = np.asarray(
+            read_hap_loglik(log_reads, jnp.asarray(p["haplotypes"]))
+        )  # [S, R_i, H_i]
+        h_i = rh.shape[-1]
+        if h_i < h_max:
+            rh = np.concatenate(
+                [rh, np.full(rh.shape[:-1] + (h_max - h_i,), MIN_LOG)], axis=-1
+            )
+        rh_list.append(rh)
+        counts_list.append(np.asarray(p["sample_read_counts"], float))
+        freqs = p.get("frequencies")
+        if freqs is None:
+            freqs = np.full(h_i, 1.0 / h_i)
+        freq_rows.append(np.pad(np.asarray(freqs, float), (0, h_max - h_i)))
+
+    max_r = max(rh.shape[1] for rh in rh_list)
+    bucket = 8
+    while bucket < max_r:
+        bucket *= 2
+    rh_all = np.full((n_problems, n_samples, bucket, h_max), MIN_LOG)
+    counts_all = np.zeros((n_problems, n_samples, bucket))
+    for i, (rh, c) in enumerate(zip(rh_list, counts_list)):
+        rh_all[i, :, : rh.shape[1]] = rh
+        counts_all[i, :, : c.shape[1]] = c
+    with np.errstate(divide="ignore"):
+        log_freqs = np.log(np.stack(freq_rows))  # padding -> -inf
+    n_valid = np.array([len(p["haplotypes"]) for p in problems], np.int32)
+
+    # greedy per-sample initial states (same as the single-locus path)
+    initial = np.full((n_problems, n_samples, max_ploidy), -1, np.int32)
+    for i in range(n_problems):
+        for j in range(n_samples):
+            ploidy = int(sample_ploidy[j])
+            genotype = np.asarray(
+                _calling_kernel.greedy_caller(
+                    jnp.asarray(rh_all[i, j]),
+                    jnp.asarray(counts_all[i, j]),
+                    ploidy=ploidy,
+                    n_valid=jnp.asarray(n_valid[i]),
+                )
+            )
+            initial[i, j, :ploidy] = genotype
+
+    sample_children = _kernel.sample_children_matrix(sample_parents)
+    parental_pairs, pair_blankets = _kernel.parental_pair_markov_blankets(
+        sample_parents, sample_children
+    )
+    sampler, _ = _kernel.make_pedigree_kernels(
+        max_ploidy, n_samples, sample_children.shape[1], len(parental_pairs)
+    )
+
+    seed = random_seed if random_seed is not None else 0
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_problems)
+    ped_static = (
+        jnp.asarray(sample_ploidy),
+        jnp.asarray(np.asarray(sample_parents)),
+        jnp.asarray(sample_children),
+        jnp.asarray(np.asarray(gamete_tau)),
+        jnp.asarray(np.asarray(gamete_lambda), jnp.float64),
+        jnp.asarray(np.asarray(gamete_error), jnp.float64),
+        jnp.asarray(parental_pairs),
+        jnp.asarray(pair_blankets),
+    )
+
+    def one(key, init, rh, c, lf, nv):
+        (ploidy_a, parents_a, children_a, tau_a, lambda_a, error_a,
+         pairs_a, blankets_a) = ped_static
+        return sampler(
+            key,
+            jnp.broadcast_to(init, (chains, n_samples, max_ploidy)),
+            rh,
+            c,
+            ploidy_a,
+            parents_a,
+            children_a,
+            tau_a,
+            lambda_a,
+            error_a,
+            lf,
+            pairs_a,
+            blankets_a,
+            nv,
+            n_steps=steps,
+            swap_parental_alleles=swap_parental_alleles
+            and len(parental_pairs) > 0,
+            step_type=_STEP_TYPES[step_type],
+        )
+
+    from mchap_tpu.parallel.sharding import problem_mesh, shard_problems
+
+    mesh = problem_mesh(n_problems)
+    _, keys_j, init_j, rh_j, c_j, lf_j, nv_j = shard_problems(
+        mesh, n_problems, np.asarray(keys), initial,
+        rh_all, counts_all, log_freqs, n_valid,
+    )
+    trace = jax.vmap(one)(keys_j, init_j, rh_j, c_j, lf_j, nv_j)
+    trace = np.asarray(trace, np.int16)[:n_problems]  # [B, chains, steps, S, maxp]
+
+    # sort each genotype, rolling padding to the end (mcmc.py:807-813)
+    trace = np.sort(trace, axis=-1)
+    for j in range(n_samples):
+        ploidy = int(sample_ploidy[j])
+        if ploidy < max_ploidy:
+            trace[:, :, :, j, :] = np.roll(
+                trace[:, :, :, j, :], ploidy - max_ploidy, axis=-1
+            )
+    return [
+        PedigreeAllelesMultiTrace(trace[i], n_allele=int(n_valid[i]))
+        for i in range(n_problems)
+    ]
 
 
 @dataclass

@@ -264,23 +264,18 @@ def make_pedigree_kernels(max_ploidy, n_samples, max_children, n_pairs):
         ) - jnp.log(ploidy.astype(jnp.float64))
         return counts @ read_log
 
-    def gibbs_slot(key, s, k, genotypes, rh_all, counts_all, ped):
-        """Gibbs update of slot k of sample s over all panel alleles.
-
-        llk via the rank-1 logaddexp trick over the precomputed read-hap
-        matrix; prior via the Markov blanket per candidate; multiplicity
-        term corrects slot-wise sampling of the multiset state (same
-        Jacobian as the calling sampler's flat allele prior).
-        """
+    def _slot_options(s, k, genotypes, rh_all, counts_all, ped):
+        """Per-candidate state for updating slot k of sample s: llk of
+        every panel allele (rank-1 logaddexp trick over the precomputed
+        read-hap matrix), Markov-blanket prior of every candidate
+        genotype, and each allele's copy count among the other slots."""
         (sample_ploidy, *_rest) = ped
         n_alleles = rh_all.shape[-1]
         maxp = genotypes.shape[-1]
         ploidy = sample_ploidy[s]
         g = genotypes[s]
-        cur = g[k]
         rh = rh_all[s]
         counts = counts_all[s]
-        # llk of each candidate
         keep = (jnp.arange(maxp) != k) & (jnp.arange(maxp) < ploidy)
         sub = rh[:, jnp.clip(g, 0, None)]
         rest = jax.scipy.special.logsumexp(
@@ -288,7 +283,6 @@ def make_pedigree_kernels(max_ploidy, n_samples, max_children, n_pairs):
         )
         cand = jnp.logaddexp(rest[:, None], rh)  # [R, H]
         llks = counts @ (cand - jnp.log(ploidy.astype(jnp.float64)))  # [H]
-        # blanket prior of each candidate
         options = jnp.broadcast_to(g, (n_alleles, maxp)).at[:, k].set(
             jnp.arange(n_alleles, dtype=g.dtype)
         )
@@ -297,14 +291,66 @@ def make_pedigree_kernels(max_ploidy, n_samples, max_children, n_pairs):
             return blanket_log_probability(s, genotypes.at[s].set(g_s), ped)
 
         lpriors = jax.vmap(blanket_for)(options)  # [H]
-        # multiplicity of each candidate among the other slots + itself
         counts_other = jnp.sum(
             keep[None, :] & (g[None, :] == jnp.arange(n_alleles)[:, None]), axis=-1
         )
+        return llks, lpriors, counts_other
+
+    def gibbs_slot(key, s, k, genotypes, rh_all, counts_all, ped, n_valid):
+        """Gibbs update of slot k of sample s over all panel alleles.
+
+        The multiplicity term corrects slot-wise sampling of the
+        multiset state (same Jacobian as the calling sampler's flat
+        allele prior).  ``n_valid`` masks panel padding columns (locus
+        batching pads every panel to the block's max size).
+        """
+        (sample_ploidy, *_rest) = ped
+        n_alleles = rh_all.shape[-1]
+        g = genotypes[s]
+        cur = g[k]
+        llks, lpriors, counts_other = _slot_options(
+            s, k, genotypes, rh_all, counts_all, ped
+        )
         lmult = jnp.log(counts_other.astype(jnp.float64) + 1.0)
-        logits = llks + lpriors + lmult
+        logits = jnp.where(
+            jnp.arange(n_alleles) < n_valid, llks + lpriors + lmult, -jnp.inf
+        )
         choice = jax.random.categorical(key, logits).astype(g.dtype)
-        new_allele = jnp.where(k < ploidy, choice, cur)
+        new_allele = jnp.where(k < sample_ploidy[s], choice, cur)
+        return genotypes.at[s, k].set(new_allele)
+
+    def mh_slot(key, s, k, genotypes, rh_all, counts_all, ped, n_valid):
+        """Metropolis-Hastings update of slot k of sample s.
+
+        Compound proposal distribution over the valid panel alleles:
+        each non-current allele is proposed uniformly and accepted with
+        min(1, llk_ratio * prior_ratio * proposal_ratio); the leftover
+        mass keeps the current allele (reference pedigree/mcmc.py:15-142,
+        same regime as the calling sampler's MH step).
+        """
+        (sample_ploidy, *_rest) = ped
+        n_alleles = rh_all.shape[-1]
+        g = genotypes[s]
+        cur = g[k]
+        llks, lpriors, counts_other = _slot_options(
+            s, k, genotypes, rh_all, counts_all, ped
+        )
+        # proposal ratio: copies of candidate in the proposed genotype /
+        # copies of the current allele in the current genotype
+        copies_proposed = (counts_other + 1).astype(jnp.float64)
+        copies_current = (counts_other[cur] + 1).astype(jnp.float64)
+        lproposal = jnp.log(copies_proposed) - jnp.log(copies_current)
+        mh_ratio = (llks - llks[cur]) + (lpriors - lpriors[cur]) + lproposal
+        accept = jnp.exp(jnp.minimum(0.0, mh_ratio))
+        accept = jnp.where(jnp.arange(n_alleles) < n_valid, accept, 0.0)
+        n_proposals = jnp.maximum(n_valid - 1, 1).astype(accept.dtype)
+        probs = accept.at[cur].set(0.0) / n_proposals
+        probs = probs.at[cur].set(1.0 - jnp.sum(probs))
+        # inverse-CDF draw matching reference random_choice semantics
+        cdf = jnp.cumsum(probs)
+        u = jax.random.uniform(key, dtype=cdf.dtype)
+        choice = jnp.sum(cdf <= u * cdf[-1], dtype=jnp.int32).astype(g.dtype)
+        new_allele = jnp.where(k < sample_ploidy[s], choice, cur)
         return genotypes.at[s, k].set(new_allele)
 
     def pair_swap(key, pair, blanket, genotypes, rh_all, counts_all, ped):
@@ -352,7 +398,9 @@ def make_pedigree_kernels(max_ploidy, n_samples, max_children, n_pairs):
         accept = proposes & (u < jnp.exp(log_accept))
         return jnp.where(accept, proposed, genotypes)
 
-    @functools.partial(jax.jit, static_argnames=("n_steps", "swap_parental_alleles"))
+    @functools.partial(
+        jax.jit, static_argnames=("n_steps", "swap_parental_alleles", "step_type")
+    )
     def sampler(
         key,
         initial,  # [n_chains, S, maxp]
@@ -367,14 +415,19 @@ def make_pedigree_kernels(max_ploidy, n_samples, max_children, n_pairs):
         log_freqs,
         parental_pairs,  # [n_pairs, 2]
         pair_blankets,  # [n_pairs, max_blanket]
+        n_valid=None,  # valid panel size (traced); None = full panel
         *,
         n_steps,
         swap_parental_alleles=True,
+        step_type=0,  # static: 0 = Gibbs, 1 = Metropolis-Hastings
     ):
         ped = (
             sample_ploidy, sample_parents, sample_children,
             gamete_tau, gamete_lambda, gamete_error, log_freqs,
         )
+        if n_valid is None:
+            n_valid = rh_all.shape[-1]
+        slot_fn = gibbs_slot if step_type == 0 else mh_slot
 
         def chain(key, genotypes0):
             def step(genotypes, step_key):
@@ -390,7 +443,10 @@ def make_pedigree_kernels(max_ploidy, n_samples, max_children, n_pairs):
                     def slot_body(genotypes, slot_xs):
                         k, kkey = slot_xs
                         return (
-                            gibbs_slot(kkey, s, k, genotypes, rh_all, counts_all, ped),
+                            slot_fn(
+                                kkey, s, k, genotypes, rh_all, counts_all, ped,
+                                n_valid,
+                            ),
                             None,
                         )
 

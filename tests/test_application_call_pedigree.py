@@ -15,6 +15,11 @@ from tests.golden import data_path, run_stdout_lines
             ["--gamete-error", "0.5"],
             "simple.output.mixed_depth.call-pedigree.p132.gamerror0.5.vcf",
         ),
+        # cross-locus batched device path (fit_pedigree_multi)
+        (
+            ["--locus-batch", "4"],
+            "simple.output.mixed_depth.call-pedigree.p132.vcf",
+        ),
     ],
 )
 def test_call_pedigree_decisions_match_golden(cli_extra, output_vcf):

@@ -172,9 +172,12 @@ def _exact_pedigree_posterior(sample_reads, sample_counts, ploidy, parents,
     return marginals
 
 
+@pytest.mark.parametrize("step_type", ["Gibbs", "Metropolis-Hastings"])
 @pytest.mark.parametrize("swap", [True, False])
-def test_pedigree_mcmc_matches_exact(swap):
-    """Joint Gibbs posterior ≈ exact enumeration for a diploid trio."""
+def test_pedigree_mcmc_matches_exact(swap, step_type):
+    """Joint Gibbs/MH posterior ≈ exact enumeration for a diploid trio
+    (reference implements both slot updates, pedigree/mcmc.py:15-142,
+    dispatch at :240-306)."""
     ploidy = 2
     n_samples = 3
     parents = np.array([[-1, -1], [-1, -1], [0, 1]])
@@ -203,6 +206,7 @@ def test_pedigree_mcmc_matches_exact(swap):
         chains=2,
         random_seed=11,
         swap_parental_alleles=swap,
+        step_type=step_type,
     )
     trace = model.fit(sample_reads, sample_counts).burn(500)
 
