@@ -2,17 +2,20 @@
 
 The reference's stochastic goldens can't be matched bit-for-bit (numba
 RNG); these goldens are OUR deterministic outputs at --mcmc-seed 11
-(regenerated with scripts in the files' headers), giving future changes
-a byte-level regression oracle for the full sampler + VCF pipeline —
-the same role the reference's checked-in goldens play for it
-(SURVEY.md §4.3).
+(regenerated with scripts/gen_goldens.py), giving future changes a
+byte-level regression oracle for the full sampler + VCF pipeline across
+the option surface — pools, optional report fields, dirmul prior, prior
+frequencies, temperature ladder, pedigree — the same role the
+reference's ~60-golden matrix plays for it (SURVEY.md §4.3; reference
+``mchap/tests/test_application_assemble.py:358-436``).
 """
 
 import pathlib
 
 import pytest
 
-from tests.golden import data_path, run_stdout_lines
+from tests.golden import run_stdout_lines
+from tests.golden_configs import CONFIGS, build_program
 
 GOLDEN_DIR = pathlib.Path(__file__).parent / "golden_outputs"
 
@@ -25,43 +28,10 @@ def _strip(lines):
     ]
 
 
-def test_call_regression_golden():
-    from mchap_tpu.application.call import program
-
-    command = (
-        ["mchap", "call", "--bam"]
-        + [
-            data_path(b)
-            for b in ("simple.sample1.bam", "simple.sample2.bam", "simple.sample3.bam")
-        ]
-        + [
-            "--ploidy", "4",
-            "--haplotypes", data_path("simple.output.assemble.vcf"),
-            "--mcmc-seed", "11", "--mcmc-steps", "500", "--mcmc-burn", "100",
-        ]
+@pytest.mark.parametrize("golden_name", sorted(CONFIGS))
+def test_regression_golden(golden_name):
+    lines = _strip(run_stdout_lines(build_program(CONFIGS[golden_name])))
+    golden = _strip(
+        (GOLDEN_DIR / golden_name).read_text().splitlines(keepends=True)
     )
-    lines = _strip(run_stdout_lines(program.cli(command)))
-    golden = _strip((GOLDEN_DIR / "simple.call.seed11.vcf").read_text().splitlines(keepends=True))
-    assert lines == golden
-
-
-def test_assemble_regression_golden():
-    from mchap_tpu.application.assemble import program
-
-    command = (
-        ["mchap", "assemble", "--bam"]
-        + [
-            data_path(b)
-            for b in ("simple.sample1.bam", "simple.sample2.bam", "simple.sample3.bam")
-        ]
-        + [
-            "--ploidy", "4",
-            "--targets", data_path("simple.bed"),
-            "--variants", data_path("simple.vcf.gz"),
-            "--reference", data_path("simple.fasta"),
-            "--mcmc-seed", "11", "--mcmc-steps", "500", "--mcmc-burn", "100",
-        ]
-    )
-    lines = _strip(run_stdout_lines(program.cli(command)))
-    golden = _strip((GOLDEN_DIR / "simple.assemble.seed11.vcf").read_text().splitlines(keepends=True))
     assert lines == golden
