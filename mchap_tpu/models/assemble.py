@@ -176,7 +176,8 @@ class DenovoMCMC:
 
 def _fit_denovo_batch_pallas(
     log_reads, counts, init, n_alleles_eff, break_dist, ploidy, steps,
-    chains, seed, p_recomb, p_partial, p_full, interpret=False,
+    chains, seed, p_recomb, p_partial, p_full, temperatures=(1.0,),
+    alphas=None, interpret=False,
 ):
     """Run all samples x chains through the full-step pallas kernel.
 
@@ -214,6 +215,11 @@ def _fit_denovo_batch_pallas(
     pbreak = np.repeat(
         (mean_breaks / max(n_pos - 1, 1)).astype(np.float32), chains
     )[None, :]  # [1, S*chains]
+    alphas_cl = (
+        None
+        if alphas is None
+        else np.repeat(np.asarray(alphas, np.float32), chains)
+    )
     if b_pad != b:
         lr_cl = jnp.pad(lr_cl, ((0, 0),) * 3 + ((0, b_pad - b),))
         counts_cl = jnp.pad(counts_cl, ((0, 0), (0, b_pad - b)))
@@ -222,9 +228,16 @@ def _fit_denovo_batch_pallas(
             nall_cl, ((0, 0), (0, b_pad - b)), constant_values=1
         )
         pbreak = np.pad(pbreak, ((0, 0), (0, b_pad - b)))
+        if alphas_cl is not None:
+            alphas_cl = np.pad(
+                alphas_cl, (0, b_pad - b), constant_values=1.0
+            )
+    temps = np.sort(np.asarray(temperatures, np.float32))
     genotypes, llks = pallas_denovo_sampler(
         jnp.int32(seed), lr_cl, counts_cl, init_cl,
         jnp.asarray(nall_cl), jnp.asarray(pbreak),
+        jnp.asarray(temps) if len(temps) > 1 else None,
+        None if alphas_cl is None else jnp.asarray(alphas_cl),
         n_steps=steps, ploidy=ploidy, p_recomb=p_recomb,
         p_partial=p_partial, p_full=p_full, interpret=interpret,
     )
@@ -371,10 +384,13 @@ def _fit_denovo_core(
     log_reads = prepare_reads(reads)  # [S, R, nb, A]
 
     # fast path: the VMEM-resident full-step pallas kernel covers the
-    # default configuration (flat prior, single temperature) on TPU
+    # flat-prior configuration on TPU, single-temperature or with a
+    # tempering ladder of up to 8 rungs (ladder replicas ride the
+    # kernel's chunk axis with in-kernel neighbor swaps)
     n_reads_b = reads.shape[1]
     max_allele = reads.shape[-1]
-    vmem_est = 512 * (
+    n_temps = len(temps)
+    vmem_est = 128 * max(4, n_temps) * (
         3 * n_reads_b * n_pos * max_allele
         + 2 * ploidy * n_pos * max_allele
         + 2 * ploidy * n_reads_b
@@ -384,19 +400,32 @@ def _fit_denovo_core(
     base_pack = 1
     while base_pack < max(max_allele, 2):
         base_pack *= 2
+    # Dirichlet-multinomial prior runs in-kernel when every sample is
+    # genuinely inbred (F == 0 means the flat-prior branch host-side)
+    all_inbred = use_prior and bool(np.all(np.asarray(inbreeding) > 0))
     if (
-        not use_prior
-        and len(temps) == 1
+        (not use_prior or all_inbred)
+        and n_temps <= 8
         and jax.default_backend() not in ("cpu",)
         and vmem_est < 10 * 1024 * 1024
         and float(base_pack) ** ploidy <= 2.0 ** 24
     ):
         try:
+            if all_inbred:
+                log_uh = np.sum(
+                    np.log(n_alleles_eff.astype(float)), axis=1
+                )  # [S]
+                alphas = (
+                    (1.0 - np.asarray(inbreeding)) / np.asarray(inbreeding)
+                ) * np.exp(-log_uh)
+            else:
+                alphas = None
             traces = _fit_denovo_batch_pallas(
                 np.asarray(prepare_reads(reads, dtype=jnp.float32)),
                 counts, init, n_alleles_eff, break_dist, ploidy, steps,
                 chains, seed, recombination_step_probability,
                 partial_dosage_step_probability, dosage_step_probability,
+                temperatures=temps, alphas=alphas,
             )
             out = []
             for i in range(n_samples):
@@ -443,8 +472,10 @@ def _fit_denovo_core(
     genotypes, llks = jax.vmap(one)(
         keys_s, init_s, lr_s, counts_s, na_s, bd_s, ib_s
     )
-    genotypes = np.asarray(genotypes)[:n_samples]
-    llks = np.asarray(llks)[:n_samples]
+    from mchap_tpu.parallel.sharding import gather_result
+
+    genotypes = gather_result(genotypes)[:n_samples]
+    llks = gather_result(llks)[:n_samples]
 
     out = []
     for i in range(n_samples):

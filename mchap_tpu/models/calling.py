@@ -17,6 +17,7 @@ from mchap_tpu import mset
 from mchap_tpu.numerics.combinadics import count_unique_genotypes
 from mchap_tpu.numerics.dosage import allelic_dosage  # noqa: F401 (re-export)
 from mchap_tpu.ops import calling_mcmc as _kernel
+from mchap_tpu.parallel.sharding import gather_result
 from mchap_tpu.ops.likelihood import prepare_reads, read_hap_loglik
 
 
@@ -277,8 +278,8 @@ def fit_calling_batch(
         np.asarray(counts), np.asarray(inbreeding),
     )
     genotypes, llks = jax.vmap(one)(keys, read_hap, counts, inbreeding)
-    genotypes = np.asarray(genotypes, np.int32)[:n_samples]
-    llks = np.asarray(llks)[:n_samples]
+    genotypes = gather_result(genotypes).astype(np.int32)[:n_samples]
+    llks = gather_result(llks)[:n_samples]
     return [
         GenotypeAllelesMultiTrace(genotypes[i], llks[i], n_alleles)
         for i in range(n_samples)
@@ -421,8 +422,8 @@ def fit_calling_multi(
         genotypes, llks = jax.vmap(
             lambda k, rh, c, f, nv: one(k, rh, c, f, None, nv)
         )(keys, read_hap, counts, inbreeding, n_valid_j)
-    genotypes = np.asarray(genotypes, np.int32)[:n_problems]
-    llks = np.asarray(llks)[:n_problems]
+    genotypes = gather_result(genotypes).astype(np.int32)[:n_problems]
+    llks = gather_result(llks)[:n_problems]
     return [
         GenotypeAllelesMultiTrace(
             genotypes[i], llks[i], len(problems[i]["haplotypes"])

@@ -267,7 +267,9 @@ def fit_pedigree_multi(
         rh_all, counts_all, log_freqs, n_valid,
     )
     trace = jax.vmap(one)(keys_j, init_j, rh_j, c_j, lf_j, nv_j)
-    trace = np.asarray(trace, np.int16)[:n_problems]  # [B, chains, steps, S, maxp]
+    from mchap_tpu.parallel.sharding import gather_result
+
+    trace = gather_result(trace).astype(np.int16)[:n_problems]  # [B, chains, steps, S, maxp]
 
     # sort each genotype, rolling padding to the end (mcmc.py:807-813)
     trace = np.sort(trace, axis=-1)

@@ -41,9 +41,13 @@ per grid row):
   enumeration);
 - draws via the on-core PRNG (inverse-CDF over static option tables).
 
-Scope: flat (null) genotype prior and a single temperature — the
-defaults.  Dirichlet-multinomial priors (--inbreeding) and parallel
-tempering fall back to the XLA sampler (ops/assemble_mcmc.py).
+Scope: flat genotype prior or the Dirichlet-multinomial prior
+(``--use-dirmul-prior``, per-lane dispersion), single temperature or a
+parallel-tempering ladder of up to 8 rungs (``--mcmc-temperatures``,
+ladder replicas on the chunk axis with in-kernel neighbor swaps) — the
+full option surface of the reference sampler.  Only mixed
+flat/inbred sample batches fall back to the XLA sampler
+(ops/assemble_mcmc.py).
 
 Mosaic constraints honoured (see also ops/pallas_calling.py): trace
 with x64 disabled; no value-op dynamic_update_slice (state updates are
@@ -265,7 +269,7 @@ def pallas_mutation_sweep(seed, n_alleles_arr, log_reads_cl, counts_cl,
 
 def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
                       p_recomb, p_partial, p_full, base, refresh, stage,
-                      chunk):
+                      chunk, n_temps=1, use_prior=False):
     """Kernel factory for the full de novo compound step (v2 layout).
 
     Performance-critical layout decisions (vs the v1 one-hot kernel,
@@ -303,6 +307,26 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
 
     ``stage`` gates sub-steps for incremental compile probing:
     1 = mutation only, 2 = + fused partition sweep, 3 = + full dosage.
+
+    ``use_prior`` enables the Dirichlet-multinomial genotype prior
+    (reference assemble/prior.py:81-112) with per-lane dispersion
+    ``alpha_ref``.  The prior depends only on the genotype's haplotype
+    dosage, so every MH ratio needs just the copy counts the kernel
+    already tracks: for the mutation sweep the DM permutation term
+    cancels against the copy-count proposal correction, leaving
+    log((count_new-1+alpha)/(count_cur-1+alpha)) per candidate; the
+    structural sweeps evaluate the dosage pmf difference from the
+    pairwise row-equality matrices (t(d) = sum_{k<d} log(alpha+k)
+    - log d!, normalising constants cancel in ratios).
+
+    ``n_temps > 1`` turns the chunk axis into a parallel-tempering
+    ladder (chunk == n_temps, temperatures ascending so slot C-1 is the
+    cold chain): every MH llk-difference is multiplied by the slot's
+    inverse temperature ``temps_ref`` and the compound step ends with
+    the reference's warm-to-cold neighbor state swaps
+    (assemble/tempering.py:61-151) — swaps exchange the cached genotype,
+    rh and llk rows between adjacent C slots, which on this layout are
+    plain masked row selects, not cross-lane traffic.
     """
     STEPS = n_steps
     C = chunk
@@ -319,13 +343,49 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
     RECOMB_PAIRS = [(a, b) for a in range(P) for b in range(a + 1, P)]
     DOSAGE_PAIRS = [(a, b) for a in range(P) for b in range(P) if a != b]
 
-    def kern(seed_ref, nall_ref, pbreak_ref, lr_ref, counts_ref, g0_ref,
-             gtrace_ref, lltrace_ref, g_s, rh_s, llk_s):
+    def kern(seed_ref, nall_ref, pbreak_ref, temps_ref, alpha_ref, lr_ref,
+             counts_ref, g0_ref, gtrace_ref, lltrace_ref, g_s, rh_s, llk_s):
         tile = pl.program_id(0)
         step = pl.program_id(1)
         pltpu.prng_seed(seed_ref[0] + tile * jnp.int32(STEPS) + step)
         counts = counts_ref[:]  # [C, R, LANES]
+        temp = temps_ref[:, 0, :]  # [C, LANES] inverse temperatures
         log_p = jnp.log(jnp.float32(P))
+
+        if use_prior:
+            alpha = alpha_ref[:, 0, :]  # [C, LANES] DM dispersion
+            # log(alpha + k) for k = 0..P-1 and log d! lookups, shared
+            # by every dosage pmf term t(d) = sum_{k<d} log(alpha+k) - log d!
+            log_alpha_k = [jnp.log(alpha + jnp.float32(k)) for k in range(P)]
+            log_ints = [jnp.log(jnp.float32(m)) for m in range(2, P + 1)]
+
+            def t_of(d):
+                """Per-dosage DM pmf term for integer-valued d [C, LANES]."""
+                s = jnp.zeros((C, LANES), jnp.float32)
+                for k in range(P):
+                    s = s + jnp.where(
+                        d > jnp.float32(k) + 0.5, log_alpha_k[k], 0.0
+                    )
+                for m in range(2, P + 1):
+                    s = s - jnp.where(
+                        d > jnp.float32(m) - 0.5, log_ints[m - 2], 0.0
+                    )
+                return s
+
+            def prior_S(eqm):
+                """Dosage DM log-pmf (up to a genotype-independent
+                constant) from a full-row equality matrix eqm[i][j]
+                of [C, LANES] f32 indicators."""
+                S = jnp.zeros((C, LANES), jnp.float32)
+                for h in range(P):
+                    d = jnp.zeros((C, LANES), jnp.float32)
+                    for j2 in range(P):
+                        d = d + eqm[h][j2]
+                    first = jnp.ones((C, LANES), jnp.float32)
+                    for hp in range(h):
+                        first = first * (1.0 - eqm[hp][h])
+                    S = S + first * t_of(d)
+                return S
 
         def uniform(shape):
             return _uniform_from_bits(
@@ -446,9 +506,19 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
                         is_cur = (colv[h2] == cur).astype(jnp.float32)
                         count_cur = count_cur + e * is_cur
                         count_alt = count_alt + e * (1.0 - is_cur)
-                    mh = (llk_alt - llk) + jnp.log(count_alt) - jnp.log(
-                        count_cur
-                    )
+                    if use_prior:
+                        # DM dosage prior ratio; its permutation term is
+                        # log(count_cur/count_alt) (assemble/prior.py)
+                        lpr = (
+                            jnp.log(count_cur) - jnp.log(count_alt)
+                            + jnp.log(count_alt - 1.0 + alpha)
+                            - jnp.log(count_cur - 1.0 + alpha)
+                        )
+                    else:
+                        lpr = 0.0
+                    mh = (llk_alt - llk + lpr) * temp + jnp.log(
+                        count_alt
+                    ) - jnp.log(count_cur)
                     p_acc = jnp.where(
                         nall_j > 1.5, jnp.exp(jnp.minimum(0.0, mh)), 0.0
                     )
@@ -496,9 +566,17 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
                 probs = []
                 p_move = jnp.zeros((C, LANES), jnp.float32)
                 for a in range(A):
-                    mh = (llks[a] - llk) + jnp.log(counts_a[a]) - jnp.log(
-                        count_cur
-                    )
+                    if use_prior:
+                        lpr = (
+                            jnp.log(count_cur) - jnp.log(counts_a[a])
+                            + jnp.log(counts_a[a] - 1.0 + alpha)
+                            - jnp.log(count_cur - 1.0 + alpha)
+                        )
+                    else:
+                        lpr = 0.0
+                    mh = (llks[a] - llk + lpr) * temp + jnp.log(
+                        counts_a[a]
+                    ) - jnp.log(count_cur)
                     pa = jnp.where(
                         valid[a],
                         jnp.exp(jnp.minimum(0.0, mh))
@@ -665,9 +743,43 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
                     for a in set(a for (a, _) in pairs)
                 }
 
+            if use_prior:
+                eqf_cur = [
+                    [eq_fullrow[i][j2].astype(jnp.float32) for j2 in range(P)]
+                    for i in range(P)
+                ]
+                S_cur = prior_S(eqf_cur)
+
+                def option_prior_ratio(a, b2):
+                    """DM prior log-ratio of the (a, b2) move: rebuild the
+                    full-row equality matrix of the proposed genotype from
+                    the interval/outside equality matrices (new row a is
+                    b2-inside + a-outside; for recombination row b2 is
+                    a-inside + b2-outside)."""
+                    changed = {a, b2} if kind == 0 else {a}
+                    src_in = {a: b2, b2: a} if kind == 0 else {a: b2}
+                    new_eq = [[None] * P for _ in range(P)]
+                    for i in range(P):
+                        for j2 in range(i, P):
+                            if i == j2:
+                                e = jnp.ones((C, LANES), jnp.float32)
+                            else:
+                                si = src_in.get(i, i)
+                                sj = src_in.get(j2, j2)
+                                if i in changed or j2 in changed:
+                                    e = (
+                                        eq_in[si][sj] & eq_out[i][j2]
+                                    ).astype(jnp.float32)
+                                else:
+                                    e = eqf_cur[i][j2]
+                            new_eq[i][j2] = e
+                            new_eq[j2][i] = e
+                    return prior_S(new_eq) - S_cur
+
             valid = []
             llk_opts = []
             n_return = []
+            lpriors = []
             for (a, b2) in pairs:
                 if kind == 0:
                     v = (first_full[a] & first_full[b2]
@@ -690,6 +802,9 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
                 valid.append(v)
                 llk_opts.append(jnp.sum(counts * (cand - log_p), axis=1))
                 n_return.append(count_kind_options(li, lab_out, kind))
+                lpriors.append(
+                    option_prior_ratio(a, b2) if use_prior else 0.0
+                )
 
             n_options = jnp.zeros((C, LANES), jnp.float32)
             for v in valid:
@@ -701,7 +816,7 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
                 lp = jnp.log(jnp.maximum(n_options, 1.0)) - jnp.log(
                     jnp.maximum(n_return[k], 1.0)
                 )
-                mh = (llk_opts[k] - llk) + lp
+                mh = (llk_opts[k] - llk + lpriors[k]) * temp + lp
                 pk = jnp.where(
                     valid[k] & (gate > 0.5),
                     jnp.exp(jnp.minimum(0.0, mh))
@@ -822,6 +937,54 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
             )
 
         # ------------------------------------------------------------------
+        # 4. parallel-tempering neighbor swaps over the chunk-axis ladder
+        #    (warm -> cold, reference tempering.py:61-151 / Sambridge
+        #    2014 eq. 11; flat prior, so posterior == llk)
+        # ------------------------------------------------------------------
+        if n_temps > 1:
+            if use_prior:
+                # posterior = llk + DM prior of each slot's genotype
+                eqm = [[None] * P for _ in range(P)]
+                for i in range(P):
+                    eqm[i][i] = jnp.ones((C, LANES), jnp.float32)
+                    for j2 in range(i + 1, P):
+                        same = jnp.sum(
+                            (g_s[i, :, :, :] == g_s[j2, :, :, :]).astype(
+                                jnp.float32
+                            ),
+                            axis=1,
+                        )
+                        e = (same >= jnp.float32(NB) - 0.5).astype(jnp.float32)
+                        eqm[i][j2] = eqm[j2][i] = e
+                pri = prior_S(eqm)
+            else:
+                pri = jnp.zeros((C, LANES), jnp.float32)
+            rows = [llk[t : t + 1] for t in range(C)]  # [1, LANES] each
+            prows = [pri[t : t + 1] for t in range(C)]
+            for t in range(1, C):
+                u = uniform((8, LANES))[0:1]  # [1, LANES]
+                ex = (
+                    (rows[t - 1] + prows[t - 1]) - (rows[t] + prows[t])
+                ) * (temp[t : t + 1] - temp[t - 1 : t])
+                sw = (u < jnp.exp(jnp.minimum(0.0, ex))).astype(jnp.float32)
+                for h in range(P):
+                    ga = g_s[h, t - 1, :, :]
+                    gb = g_s[h, t, :, :]
+                    g_s[h, t - 1, :, :] = ga + sw * (gb - ga)
+                    g_s[h, t, :, :] = gb + sw * (ga - gb)
+                    ra = rh_s[h, t - 1, :, :]
+                    rb = rh_s[h, t, :, :]
+                    rh_s[h, t - 1, :, :] = ra + sw * (rb - ra)
+                    rh_s[h, t, :, :] = rb + sw * (ra - rb)
+                la, lb = rows[t - 1], rows[t]
+                rows[t - 1] = la + sw * (lb - la)
+                rows[t] = lb + sw * (la - lb)
+                pa, pb = prows[t - 1], prows[t]
+                prows[t - 1] = pa + sw * (pb - pa)
+                prows[t] = pb + sw * (pa - pb)
+            llk = jnp.concatenate(rows, axis=0)
+
+        # ------------------------------------------------------------------
         # trace write: base-packed genotype + llk
         # ------------------------------------------------------------------
         llk_s[:, :] = llk
@@ -855,6 +1018,8 @@ def pallas_denovo_sampler(
     g_init,
     nall_cl,
     pbreak_cl,
+    temps=None,
+    alphas_cl=None,
     *,
     n_steps,
     ploidy,
@@ -878,6 +1043,13 @@ def pallas_denovo_sampler(
     nall_cl : i32[n_base, n_chains] per-lane allele counts (homozygote-
         fixed positions carry 1)
     pbreak_cl : f32[1, n_chains] per-lane Bernoulli breakpoint rate
+    temps : optional f32[n_temps] ascending inverse-temperature ladder,
+        last == 1.0 (reference tempering.py); None = single temperature.
+        With a ladder, every chain lane runs n_temps coupled replicas on
+        the kernel's chunk axis and the returned trace is the COLD chain
+    alphas_cl : optional f32[n_chains] per-lane Dirichlet-multinomial
+        dispersion alpha = (1-F)/F / u_haps (reference prior.py:81-112);
+        None = flat genotype prior
     n_steps, ploidy : static
     p_recomb, p_partial, p_full : static sub-step gate probabilities
         (reference mcmc.py:381-393)
@@ -893,30 +1065,54 @@ def pallas_denovo_sampler(
     R, NB, A, n_chains = log_reads_cl.shape
     P = ploidy
     assert n_chains % LANES == 0
-    # chain groups ("chunks") per kernel instance: the largest of 4/2/1
-    # that divides the lane-tile count (latency amortisation, see
-    # _make_full_kernel); VMEM budget: lr is NB*A*R*CHUNK*128*4 bytes,
-    # double-buffered
     n_lane_tiles = n_chains // LANES
-    chunk = 1
-    for c in (4, 2):
-        lr_bytes = NB * A * R * c * LANES * 4
-        if n_lane_tiles % c == 0 and lr_bytes <= 5 * 1024 * 1024:
-            chunk = c
-            break
-    n_tiles = n_lane_tiles // chunk
+    if temps is None:
+        temps = jnp.ones((1,), jnp.float32)
+    temps = jnp.asarray(temps, jnp.float32)
+    n_temps = temps.shape[0]
+    if n_temps > 1:
+        # tempered mode: the chunk axis IS the ladder — every lane tile
+        # becomes one kernel instance carrying n_temps coupled replicas
+        assert n_temps <= 8, "ladder larger than a vreg sublane tile"
+        chunk = n_temps
+        lr_bytes = NB * A * R * chunk * LANES * 4
+        assert lr_bytes <= 5 * 1024 * 1024, "tempered lr exceeds VMEM budget"
+        n_tiles = n_lane_tiles
+    else:
+        # chain groups ("chunks") per kernel instance: the largest of
+        # 4/2/1 that divides the lane-tile count (latency amortisation,
+        # see _make_full_kernel); VMEM budget: lr is NB*A*R*CHUNK*128*4
+        # bytes, double-buffered
+        chunk = 1
+        for c in (4, 2):
+            lr_bytes = NB * A * R * c * LANES * 4
+            if n_lane_tiles % c == 0 and lr_bytes <= 5 * 1024 * 1024:
+                chunk = c
+                break
+        n_tiles = n_lane_tiles // chunk
     sc = n_tiles * chunk
     base = _next_pow2(max(A, 2))
     assert float(base) ** P <= 2.0 ** 24, "trace packing exceeds f32 ints"
+    use_prior = alphas_cl is not None
     kern = _make_full_kernel(
         n_steps, P, NB, A, R, p_recomb, p_partial, p_full, base,
-        refresh, stage, chunk,
+        refresh, stage, chunk, n_temps=n_temps, use_prior=use_prior,
     )
 
     def _pack(x, lead):
-        """[..., n_chains] -> [lead..., sc, ..., LANES] chunk packing."""
+        """[..., n_chains] -> [lead..., sc, ..., LANES] chunk packing.
+
+        Untempered: consecutive lane tiles group into chunk slots.
+        Tempered: every lane tile is REPLICATED across the n_temps chunk
+        slots (the ladder replicas share the problem data).
+        """
         shape = x.shape[:-1]
-        x = x.reshape(shape + (n_tiles, chunk, LANES))
+        x = x.reshape(shape + (n_tiles, 1, LANES) if n_temps > 1
+                      else shape + (n_tiles, chunk, LANES))
+        if n_temps > 1:
+            x = jnp.broadcast_to(
+                x, shape + (n_tiles, chunk, LANES)
+            )
         # move (n_tiles, chunk) in front of the per-chain payload dims
         nd = len(shape)
         perm = tuple(range(lead)) + (nd, nd + 1) + tuple(
@@ -939,6 +1135,15 @@ def pallas_denovo_sampler(
         counts_p = _pack(jnp.asarray(counts_cl, jnp.float32), 0)
         nall_p = _pack(jnp.asarray(nall_cl, jnp.int32), 0)
         pbreak_p = _pack(jnp.asarray(pbreak_cl, jnp.float32), 0)
+        temps_p = jnp.broadcast_to(
+            temps[None, :, None, None], (n_tiles, chunk, 1, LANES)
+        ).reshape(sc, 1, LANES)
+        if use_prior:
+            alpha_p = _pack(
+                jnp.asarray(alphas_cl, jnp.float32)[None, :], 1
+            ).reshape(sc, 1, LANES)
+        else:
+            alpha_p = jnp.ones((sc, 1, LANES), jnp.float32)
         g0_p = _pack(jnp.asarray(g_init, jnp.float32), 1)  # [P, sc, NB, L]
         out_shapes = (
             jax.ShapeDtypeStruct((n_steps, sc, NB, LANES), jnp.int32),
@@ -948,6 +1153,14 @@ def pallas_denovo_sampler(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (chunk, NB, LANES), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (chunk, 1, LANES), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (chunk, 1, LANES), lambda i, j: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -996,16 +1209,30 @@ def pallas_denovo_sampler(
             jnp.asarray(seed, jnp.int32).reshape(1),
             nall_p,
             pbreak_p,
+            temps_p,
+            alpha_p,
             lr_p,
             counts_p,
             g0_p,
         )
-        # unpack chain axis: [steps, sc, NB, L] -> [steps, NB, n_chains]
-        gtrace = jnp.transpose(
-            gtrace.reshape(n_steps, n_tiles, chunk, NB, LANES),
-            (0, 3, 1, 2, 4),
-        ).reshape(n_steps, NB, n_chains)
-        llks = lltrace.reshape(n_steps, n_chains)
+        if n_temps > 1:
+            # keep only the cold chain (slot n_temps-1) of each lane tile
+            gtrace = gtrace.reshape(n_steps, n_tiles, chunk, NB, LANES)[
+                :, :, n_temps - 1
+            ]
+            gtrace = jnp.transpose(gtrace, (0, 2, 1, 3)).reshape(
+                n_steps, NB, n_chains
+            )
+            llks = lltrace.reshape(n_steps, n_tiles, chunk, LANES)[
+                :, :, n_temps - 1
+            ].reshape(n_steps, n_chains)
+        else:
+            # unpack chain axis: [steps, sc, NB, L] -> [steps, NB, n_chains]
+            gtrace = jnp.transpose(
+                gtrace.reshape(n_steps, n_tiles, chunk, NB, LANES),
+                (0, 3, 1, 2, 4),
+            ).reshape(n_steps, NB, n_chains)
+            llks = lltrace.reshape(n_steps, n_chains)
         # unpack base-coded alleles -> [n_steps, P, NB, n_chains] int8
         shifts = jnp.asarray(
             [base ** h for h in range(P)], jnp.int32

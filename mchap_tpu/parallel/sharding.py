@@ -47,11 +47,19 @@ def shard_problems(mesh, n_problems, *arrays):
     never degenerate shapes); padded rows are computed and discarded.
     Returns (padded_n, placed_arrays...).  With ``mesh=None`` the arrays
     pass through untouched.
+
+    Multi-host (multi-controller SPMD, e.g. ``jax.distributed``): when
+    the mesh spans more than one process, each process holds the full
+    host copy (every controller reads the same inputs — the standard
+    same-program-same-data launch) and contributes only its addressable
+    shards via ``make_array_from_callback``, so the global array is
+    assembled without any host ever sending data it does not own.
     """
     if mesh is None:
         return (n_problems,) + tuple(arrays)
     n_dev = mesh.devices.size
     padded_n = -(-n_problems // n_dev) * n_dev
+    multi_host = jax.process_count() > 1
     placed = []
     for a in arrays:
         if padded_n != n_problems:
@@ -60,5 +68,29 @@ def shard_problems(mesh, n_problems, *arrays):
                 + [np.asarray(a[-1:])] * (padded_n - n_problems)
             )
         sharding = NamedSharding(mesh, P("loci", *([None] * (np.ndim(a) - 1))))
-        placed.append(jax.device_put(a, sharding))
+        if multi_host:
+            a_host = np.asarray(a)
+            placed.append(
+                jax.make_array_from_callback(
+                    a_host.shape, sharding, lambda idx, _a=a_host: _a[idx]
+                )
+            )
+        else:
+            placed.append(jax.device_put(a, sharding))
     return (padded_n,) + tuple(placed)
+
+
+def gather_result(x):
+    """Device output -> full host ndarray on every process.
+
+    Single-controller: a plain ``np.asarray`` (also forces completion
+    through remote-device tunnels).  Multi-controller: the output of a
+    sharded jit is only partially addressable per process, so all-gather
+    it across hosts first (one ICI/DCN collective; the per-locus results
+    are small relative to the sampling work).
+    """
+    if jax.process_count() <= 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

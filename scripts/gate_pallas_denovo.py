@@ -106,6 +106,47 @@ def main():
 
     assert tv_exact < 0.03, f"pallas vs exact TV too large: {tv_exact}"
     assert tv_xla < 0.04, f"pallas vs xla TV too large: {tv_xla}"
+
+    # ---- tempered pallas sampler: cold-chain posterior is the same
+    # target (swaps preserve the stationary distribution) ----
+    gt_t, _ = pallas_denovo_sampler(
+        jnp.int32(11), jnp.asarray(lrc), jnp.asarray(cnt), jnp.asarray(gi),
+        jnp.asarray(nall), jnp.asarray(pb),
+        jnp.asarray([0.33, 0.66, 1.0], jnp.float32),
+        n_steps=STEPS, ploidy=P,
+    )
+    gt_t = np.asarray(gt_t)[BURN:]
+    flat_t = gt_t.transpose(0, 3, 1, 2).reshape(-1, P, NB)
+    codes_t = np.sort(flat_t[:, :, 0] * 2 + flat_t[:, :, 1], axis=1)
+    idx_t = np.asarray(genotype_alleles_as_index(jnp.asarray(codes_t)))
+    got_t = np.bincount(idx_t, minlength=n_states).astype(float)
+    got_t /= got_t.sum()
+    tv_temp = 0.5 * np.abs(got_t - want).sum()
+    print("TV(tempered, exact) =", round(float(tv_temp), 4))
+    assert tv_temp < 0.03, f"tempered pallas vs exact TV too large: {tv_temp}"
+
+    # ---- Dirichlet-multinomial prior: exact target over the complete
+    # panel (calling-model prior with uniform frequencies == assemble
+    # dosage prior when the panel is the full haplotype space) ----
+    F = 0.3
+    want_f = np.asarray(exact.genotype_posteriors(llks, P, len(panel), prior=(F, None)))
+    uh = float(len(panel))
+    alpha = (1.0 - F) / F / uh
+    gt_f, _ = pallas_denovo_sampler(
+        jnp.int32(11), jnp.asarray(lrc), jnp.asarray(cnt), jnp.asarray(gi),
+        jnp.asarray(nall), jnp.asarray(pb), None,
+        jnp.full((C,), alpha, jnp.float32),
+        n_steps=STEPS, ploidy=P,
+    )
+    gt_f = np.asarray(gt_f)[BURN:]
+    flat_f = gt_f.transpose(0, 3, 1, 2).reshape(-1, P, NB)
+    codes_f = np.sort(flat_f[:, :, 0] * 2 + flat_f[:, :, 1], axis=1)
+    idx_f = np.asarray(genotype_alleles_as_index(jnp.asarray(codes_f)))
+    got_f = np.bincount(idx_f, minlength=n_states).astype(float)
+    got_f /= got_f.sum()
+    tv_dirmul = 0.5 * np.abs(got_f - want_f).sum()
+    print("TV(dirmul, exact)  =", round(float(tv_dirmul), 4))
+    assert tv_dirmul < 0.03, f"dirmul pallas vs exact TV too large: {tv_dirmul}"
     print("GATE PASSED", flush=True)
 
 

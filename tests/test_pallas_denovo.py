@@ -152,3 +152,46 @@ def test_fit_denovo_batch_cpu_ignores_pallas_path():
         random_seed=1,
     )
     assert traces[0].genotypes.shape == (2, 20, 4, 2)
+
+
+def test_tempered_sampler_bookkeeping_invariant():
+    """With a temperature ladder on the chunk axis, the returned COLD
+    trace must keep the same llk == recompute invariant, and fixed
+    sites stay frozen through the in-kernel neighbor swaps."""
+    P, NB, A, R, C = 4, 8, 4, 16, 128
+    lr, lrc, cnt, gi, nall, pb = _problem(P, NB, A, R, C)
+    gi[:, 2, :] = 3
+    nall[2, :] = 1
+    gt, llks = pallas_denovo_sampler(
+        jnp.int32(3), jnp.asarray(lrc), jnp.asarray(cnt), jnp.asarray(gi),
+        jnp.asarray(nall), jnp.asarray(pb),
+        jnp.asarray([0.4, 0.7, 1.0], jnp.float32),
+        n_steps=4, ploidy=P, interpret=True,
+    )
+    gt = np.asarray(gt)
+    llks = np.asarray(llks)
+    assert gt.shape == (4, P, NB, C)
+    assert (gt[:, :, 2, :] == 3).all()
+    for step in range(4):
+        want = _llk_numpy(lr, gt[step, :, :, 0])
+        assert abs(llks[step, 0] - want) < 1e-2, (step, llks[step, 0], want)
+
+
+def test_dirmul_sampler_bookkeeping_invariant():
+    """The Dirichlet-multinomial prior changes acceptance ratios but the
+    llk trace must still equal a from-scratch recompute (the prior never
+    leaks into the likelihood accounting)."""
+    P, NB, A, R, C = 4, 8, 4, 16, 128
+    lr, lrc, cnt, gi, nall, pb = _problem(P, NB, A, R, C)
+    gt, llks = pallas_denovo_sampler(
+        jnp.int32(3), jnp.asarray(lrc), jnp.asarray(cnt), jnp.asarray(gi),
+        jnp.asarray(nall), jnp.asarray(pb), None,
+        jnp.full((C,), 0.05, jnp.float32),
+        n_steps=4, ploidy=P, interpret=True,
+    )
+    gt = np.asarray(gt)
+    llks = np.asarray(llks)
+    assert (gt >= 0).all() and (gt < A).all()
+    for step in range(4):
+        want = _llk_numpy(lr, gt[step, :, :, 0])
+        assert abs(llks[step, 0] - want) < 1e-2, (step, llks[step, 0], want)
