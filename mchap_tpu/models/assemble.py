@@ -233,15 +233,22 @@ def _fit_denovo_batch_pallas(
                 alphas_cl, (0, b_pad - b), constant_values=1.0
             )
     temps = np.sort(np.asarray(temperatures, np.float32))
-    genotypes, llks = pallas_denovo_sampler(
+    packed, llks = pallas_denovo_sampler(
         jnp.int32(seed), lr_cl, counts_cl, init_cl,
         jnp.asarray(nall_cl), jnp.asarray(pbreak),
         jnp.asarray(temps) if len(temps) > 1 else None,
         None if alphas_cl is None else jnp.asarray(alphas_cl),
         n_steps=steps, ploidy=ploidy, p_recomb=p_recomb,
-        p_partial=p_partial, p_full=p_full, interpret=interpret,
+        p_partial=p_partial, p_full=p_full, packed=True,
+        interpret=interpret,
     )
-    genotypes = np.asarray(genotypes)[..., :b]  # [steps, P, NB, S*chains]
+    # pull the base-packed trace (4x less tunnel traffic than unpacked
+    # int8 alleles) and decode host-side
+    from mchap_tpu.ops.pallas_denovo import unpack_genotype_trace
+
+    genotypes = unpack_genotype_trace(
+        np.asarray(packed)[..., :b], ploidy, max_allele
+    )  # [steps, P, NB, S*chains]
     llks = np.asarray(llks)[:, :b]
     genotypes = genotypes.reshape(steps, ploidy, n_pos, n_samples, chains)
     genotypes = genotypes.transpose(3, 4, 0, 1, 2)  # [S, chains, steps, P, NB]
@@ -328,19 +335,14 @@ def _fit_denovo_core(
     """
     n_samples, _, n_pos, _ = reads.shape
 
-    # per-sample homozygote fixing
-    hom = np.stack(
-        [
-            _kernel.homozygosity_probabilities(
-                jnp.asarray(reads[i]),
-                n_alleles_mat[i],
-                ploidy,
-                use_prior=use_prior,
-                inbreeding=float(inbreeding[i]),
-                read_counts=jnp.asarray(counts[i]),
-            )
-            for i in range(n_samples)
-        ]
+    # per-sample homozygote fixing, all samples in one device program
+    hom = _kernel.homozygosity_probabilities_batch(
+        reads,
+        n_alleles_mat,
+        ploidy,
+        use_prior=use_prior,
+        inbreeding_b=inbreeding,
+        read_counts_b=counts,
     )  # [S, nb, A]
     fixed = hom >= fix_homozygous
     homozygous = np.any(fixed, axis=-1) | (n_alleles_mat <= 1)  # [S, nb]
@@ -390,12 +392,14 @@ def _fit_denovo_core(
     n_reads_b = reads.shape[1]
     max_allele = reads.shape[-1]
     n_temps = len(temps)
-    vmem_est = 128 * max(4, n_temps) * (
-        3 * n_reads_b * n_pos * max_allele
-        + 2 * ploidy * n_pos * max_allele
-        + 2 * ploidy * n_reads_b
-        + 2 * n_reads_b
-        + 4 * n_pos
+    # the wrapper's real VMEM constraint at its minimum chunk width:
+    # the prepared-reads block dominates; genotype/rh scratch ride along
+    chunk_min = max(1, n_temps)
+    vmem_est = 128 * chunk_min * 4 * (
+        n_reads_b * n_pos * max_allele  # lr block
+        + 2 * ploidy * (n_pos + n_reads_b)  # genotype + rh scratch
+        + 2 * n_reads_b  # counts
+        + 8  # per-lane scalars
     )
     base_pack = 1
     while base_pack < max(max_allele, 2):
@@ -533,7 +537,12 @@ def fit_denovo_multi(
             for _ in range(n_prob)
         ]
     a_max = max(a_list)
-    r_max = max(r_list)
+    # power-of-two read bucket: stable compiled shapes across blocks and
+    # aligned sublane tiles for the pallas kernel (padding reads are
+    # all-gap with zero counts)
+    r_max = 8
+    while r_max < max(r_list):
+        r_max *= 2
 
     use_prior = any(p.get("inbreeding") is not None for p in problems)
     inbreeding = np.array(

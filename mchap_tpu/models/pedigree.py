@@ -199,20 +199,25 @@ def fit_pedigree_multi(
         log_freqs = np.log(np.stack(freq_rows))  # padding -> -inf
     n_valid = np.array([len(p["haplotypes"]) for p in problems], np.int32)
 
-    # greedy per-sample initial states (same as the single-locus path)
-    initial = np.full((n_problems, n_samples, max_ploidy), -1, np.int32)
-    for i in range(n_problems):
-        for j in range(n_samples):
-            ploidy = int(sample_ploidy[j])
-            genotype = np.asarray(
-                _calling_kernel.greedy_caller(
-                    jnp.asarray(rh_all[i, j]),
-                    jnp.asarray(counts_all[i, j]),
-                    ploidy=ploidy,
-                    n_valid=jnp.asarray(n_valid[i]),
-                )
-            )
-            initial[i, j, :ploidy] = genotype
+    # greedy per-sample initial states in ONE device program: greedy is
+    # prefix-consistent (the first p slot choices never depend on the
+    # total ploidy), so run every (problem, sample) at max_ploidy and
+    # mask the padding slots of lower-ploidy samples
+    greedy = jax.vmap(
+        jax.vmap(
+            lambda rh, c, nv: _calling_kernel.greedy_caller(
+                rh, c, ploidy=max_ploidy, n_valid=nv
+            ),
+            in_axes=(0, 0, None),
+        )
+    )(
+        jnp.asarray(rh_all), jnp.asarray(counts_all), jnp.asarray(n_valid)
+    )  # [B, S, maxp]
+    initial = np.where(
+        np.arange(max_ploidy)[None, None, :] < sample_ploidy[None, :, None],
+        np.asarray(greedy, np.int32),
+        -1,
+    )
 
     sample_children = _kernel.sample_children_matrix(sample_parents)
     parental_pairs, pair_blankets = _kernel.parental_pair_markov_blankets(

@@ -686,3 +686,47 @@ def homozygosity_probabilities(reads, n_alleles_arr, ploidy, use_prior=False,
         )
     )  # [A]
     return np.asarray(probs)[:, hom_idx]  # [nb, A]
+
+
+def homozygosity_probabilities_batch(reads_b, n_alleles_mat, ploidy,
+                                     use_prior=False, inbreeding_b=None,
+                                     read_counts_b=None):
+    """Batched homozygosity filter: ONE device program for all samples.
+
+    reads_b: f[S, R, nb, A] (padded; zero-count reads weigh nothing),
+    n_alleles_mat: i[S, nb], inbreeding_b/read_counts_b batched per
+    sample.  Equivalent to stacking ``homozygosity_probabilities`` per
+    sample, without S sequential device round-trips (which dominate the
+    cross-locus batched pipeline through a remote-device tunnel).
+    """
+    import numpy as np
+
+    from mchap_tpu.numerics.combinadics import genotype_alleles_as_index
+
+    n_samples, n_reads, nb, max_allele = reads_b.shape
+    if inbreeding_b is None:
+        inbreeding_b = np.zeros(n_samples)
+    if read_counts_b is None:
+        read_counts_b = np.ones((n_samples, max(n_reads, 1)))
+    if n_reads == 0:
+        reads_b = np.full((n_samples, 1, nb, max_allele), np.nan)
+        read_counts_b = np.ones((n_samples, 1))
+
+    def one(reads, n_alleles_arr, inbreeding, read_counts):
+        _, probs = snp_posteriors(
+            reads, n_alleles_arr, ploidy, use_prior, inbreeding, read_counts
+        )
+        return probs  # [nb, G]
+
+    probs = jax.vmap(one)(
+        jnp.asarray(reads_b),
+        jnp.asarray(n_alleles_mat),
+        jnp.asarray(inbreeding_b, jnp.float64),
+        jnp.asarray(read_counts_b, jnp.float64),
+    )  # [S, nb, G]
+    hom_idx = np.asarray(
+        genotype_alleles_as_index(
+            np.repeat(np.arange(max_allele)[:, None], ploidy, axis=1)
+        )
+    )
+    return np.asarray(probs)[:, :, hom_idx]  # [S, nb, A]

@@ -1004,11 +1004,28 @@ def _next_pow2(x):
     return n
 
 
+def unpack_genotype_trace(packed, ploidy, n_alleles):
+    """Host-side decode of a ``packed=True`` trace.
+
+    packed: [n_steps, n_base, n_chains] ints (allele_h at digit h of the
+    base-``_next_pow2(max(A, 2))`` code) -> int8[n_steps, ploidy, n_base,
+    n_chains].
+    """
+    import numpy as np
+
+    base = _next_pow2(max(n_alleles, 2))
+    packed = np.asarray(packed, np.int32)
+    shifts = np.array([base ** h for h in range(ploidy)], np.int32)
+    return (
+        (packed[:, None, :, :] // shifts[None, :, None, None]) % base
+    ).astype(np.int8)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_steps", "ploidy", "p_recomb", "p_partial", "p_full",
-        "refresh", "stage", "interpret",
+        "refresh", "stage", "packed", "interpret",
     ),
 )
 def pallas_denovo_sampler(
@@ -1028,6 +1045,7 @@ def pallas_denovo_sampler(
     p_full=1.0,
     refresh=64,
     stage=3,
+    packed=False,
     interpret=False,
 ):
     """Run the full de novo assembly MCMC for many chains on-core.
@@ -1056,10 +1074,15 @@ def pallas_denovo_sampler(
     refresh : static; rebuild rh/llk from the genotype every this many
         steps (f32 drift bound)
     stage : static sub-step gate for compile probing (3 = full sampler)
+    packed : static; return the base-packed genotype trace
+        (uint8/int16[n_steps, n_base, n_chains], value = sum_h
+        allele_h * base**h) instead of unpacked alleles — 4x less
+        device->host traffic, decode with ``unpack_genotype_trace``
 
     Returns
     -------
-    genotypes : int8[n_steps, ploidy, n_base, n_chains]
+    genotypes : int8[n_steps, ploidy, n_base, n_chains], or the packed
+        trace when ``packed``
     llks : f32[n_steps, n_chains]
     """
     R, NB, A, n_chains = log_reads_cl.shape
@@ -1233,6 +1256,13 @@ def pallas_denovo_sampler(
                 (0, 3, 1, 2, 4),
             ).reshape(n_steps, NB, n_chains)
             llks = lltrace.reshape(n_steps, n_chains)
+        if packed:
+            # packed values span [0, base**P - 1]
+            pack_dtype = (
+                jnp.uint8 if float(base) ** P <= 256 else jnp.int16
+                if float(base) ** P <= 32768 else jnp.int32
+            )
+            return gtrace.astype(pack_dtype), llks
         # unpack base-coded alleles -> [n_steps, P, NB, n_chains] int8
         shifts = jnp.asarray(
             [base ** h for h in range(P)], jnp.int32
