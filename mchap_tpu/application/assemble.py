@@ -152,6 +152,7 @@ class program(baseclass.program):
                 dosage_step_probability=self.mcmc_dosage_step_probability,
                 temperatures=ladders[0],
                 random_seed=self.random_seed,
+                burn=self.mcmc_burn,
             )
             timing.count_sampler_steps(
                 len(data.samples) * self.mcmc_chains * self.mcmc_steps
@@ -324,6 +325,7 @@ class program(baseclass.program):
                         dosage_step_probability=self.mcmc_dosage_step_probability,
                         temperatures=ladder,
                         random_seed=self.random_seed,
+                        burn=self.mcmc_burn,
                     )
                 except Exception:
                     continue  # per-sample fallback in call_sample_genotypes

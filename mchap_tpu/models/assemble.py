@@ -177,7 +177,7 @@ class DenovoMCMC:
 def _fit_denovo_batch_pallas(
     log_reads, counts, init, n_alleles_eff, break_dist, ploidy, steps,
     chains, seed, p_recomb, p_partial, p_full, temperatures=(1.0,),
-    alphas=None, interpret=False,
+    alphas=None, burn=0, interpret=False,
 ):
     """Run all samples x chains through the full-step pallas kernel.
 
@@ -185,7 +185,7 @@ def _fit_denovo_batch_pallas(
     counts / breakpoint rates replicated across that sample's chains;
     dummy zero-count lanes pad to a multiple of 128).  Differences vs
     the XLA path — systematic site order, Bernoulli interval partitions
-    capped at NB//2+1 segments — are valid sampler choices covered by
+    capped at NB//4+2 segments — are valid sampler choices covered by
     the exact-posterior gate (scripts/gate_pallas_denovo.py).
     """
     from mchap_tpu.ops.pallas_denovo import pallas_denovo_sampler
@@ -246,17 +246,21 @@ def _fit_denovo_batch_pallas(
     # int8 alleles) and decode host-side
     from mchap_tpu.ops.pallas_denovo import unpack_genotype_trace
 
+    # slice the burn-in ON DEVICE: only kept steps cross the link
     genotypes = unpack_genotype_trace(
-        np.asarray(packed)[..., :b], ploidy, max_allele
-    )  # [steps, P, NB, S*chains]
-    llks = np.asarray(llks)[:, :b]
-    genotypes = genotypes.reshape(steps, ploidy, n_pos, n_samples, chains)
-    genotypes = genotypes.transpose(3, 4, 0, 1, 2)  # [S, chains, steps, P, NB]
-    llks = llks.reshape(steps, n_samples, chains).transpose(1, 2, 0)
-    return [
-        GenotypeMultiTrace(genotypes[i], llks[i].astype(float))
-        for i in range(n_samples)
-    ]
+        np.asarray(packed[burn:])[..., :b], ploidy, max_allele
+    )  # [steps - burn, P, NB, S*chains]
+    llks = np.asarray(llks[burn:])[:, :b]
+    kept = steps - burn
+    genotypes = genotypes.reshape(kept, ploidy, n_pos, n_samples, chains)
+    genotypes = genotypes.transpose(3, 4, 0, 1, 2)  # [S, chains, kept, P, NB]
+    llks = llks.reshape(kept, n_samples, chains).transpose(1, 2, 0)
+    out = []
+    for i in range(n_samples):
+        t = GenotypeMultiTrace(genotypes[i], llks[i].astype(float))
+        t.pre_burned = burn
+        out.append(t)
+    return out
 
 
 def fit_denovo_batch(
@@ -275,6 +279,7 @@ def fit_denovo_batch(
     dosage_step_probability=1.0,
     temperatures=(1.0,),
     random_seed=None,
+    burn=0,
 ):
     """Run the de novo assembler for MANY samples in one device program.
 
@@ -316,7 +321,7 @@ def fit_denovo_batch(
         reads, counts, n_alleles_mat, ploidy, use_prior, inbreeding,
         steps, chains, alpha, beta, fix_homozygous,
         recombination_step_probability, partial_dosage_step_probability,
-        dosage_step_probability, temperatures, random_seed,
+        dosage_step_probability, temperatures, random_seed, burn=burn,
     )
 
 
@@ -324,7 +329,7 @@ def _fit_denovo_core(
     reads, counts, n_alleles_mat, ploidy, use_prior, inbreeding,
     steps, chains, alpha, beta, fix_homozygous,
     recombination_step_probability, partial_dosage_step_probability,
-    dosage_step_probability, temperatures, random_seed,
+    dosage_step_probability, temperatures, random_seed, burn=0,
 ):
     """Shared batched-assembly core over pre-padded arrays.
 
@@ -429,16 +434,17 @@ def _fit_denovo_core(
                 counts, init, n_alleles_eff, break_dist, ploidy, steps,
                 chains, seed, recombination_step_probability,
                 partial_dosage_step_probability, dosage_step_probability,
-                temperatures=temps, alphas=alphas,
+                temperatures=temps, alphas=alphas, burn=burn,
             )
             out = []
+            kept = steps - burn
             for i in range(n_samples):
                 if homozygous[i].all():
                     haplotype = fixed_allele[i].astype(np.int8)
-                    g = np.tile(haplotype, (chains, steps, ploidy, 1))
-                    out.append(
-                        GenotypeMultiTrace(g, np.full((chains, steps), np.nan))
-                    )
+                    g = np.tile(haplotype, (chains, kept, ploidy, 1))
+                    t = GenotypeMultiTrace(g, np.full((chains, kept), np.nan))
+                    t.pre_burned = burn
+                    out.append(t)
                 else:
                     out.append(traces[i])
             return out
@@ -506,6 +512,7 @@ def fit_denovo_multi(
     dosage_step_probability=1.0,
     temperatures=(1.0,),
     random_seed=None,
+    burn=0,
 ):
     """Run the de novo assembler for problems from MANY LOCI in one
     device program (cross-locus streaming).
@@ -569,13 +576,14 @@ def fit_denovo_multi(
         reads, counts, n_alleles_mat, ploidy, use_prior, inbreeding,
         steps, chains, alpha, beta, fix_homozygous,
         recombination_step_probability, partial_dosage_step_probability,
-        dosage_step_probability, temperatures, random_seed,
+        dosage_step_probability, temperatures, random_seed, burn=burn,
     )
     out = []
     for i, tr in enumerate(traces):
         sliced = GenotypeMultiTrace(None, None)
         sliced.genotypes = tr.genotypes[..., : nb_list[i]]
         sliced.llks = tr.llks
+        sliced.pre_burned = getattr(tr, "pre_burned", 0)
         out.append(sliced)
     return out
 
@@ -688,9 +696,19 @@ class GenotypeMultiTrace:
             self.llks = np.array(self.llks)
 
     def burn(self, n):
+        """Drop the first ``n`` steps of the ORIGINAL trace.
+
+        Batched device paths may pre-slice the burn-in on device (less
+        device->host traffic) and record it in ``pre_burned``; burning
+        by the same n again is then a no-op, so application code calls
+        ``.burn(mcmc_burn)`` uniformly either way.
+        """
+        pre = getattr(self, "pre_burned", 0)
+        k = max(n - pre, 0)
         new = type(self)(None, None)
-        new.genotypes = self.genotypes[:, n:]
-        new.llks = self.llks[:, n:]
+        new.genotypes = self.genotypes[:, k:]
+        new.llks = self.llks[:, k:]
+        new.pre_burned = max(n, pre)
         return new
 
     def posterior(self):

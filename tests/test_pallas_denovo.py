@@ -195,3 +195,42 @@ def test_dirmul_sampler_bookkeeping_invariant():
     for step in range(4):
         want = _llk_numpy(lr, gt[step, :, :, 0])
         assert abs(llks[step, 0] - want) < 1e-2, (step, llks[step, 0], want)
+
+
+def test_model_layer_burn_slices_on_device():
+    """With burn > 0 the wrapper returns only the kept steps, marked
+    pre_burned so a later .burn(mcmc_burn) is a no-op; the kept steps
+    must equal the tail of an unburned identical run."""
+    P, NB, A = 4, 3, 2
+    rng = np.random.default_rng(0)
+    n_samples, chains, steps, burn = 2, 2, 6, 4
+    truth = rng.integers(0, A, size=(n_samples, P, NB)).astype(np.int8)
+    reads = np.stack(
+        [
+            simulate_reads(t, n_alleles=A, n_reads=8, errors=False, seed=i)
+            for i, t in enumerate(truth)
+        ]
+    )
+    counts = np.ones((n_samples, reads.shape[1]))
+    log_reads = np.asarray(prepare_reads(reads, dtype=jnp.float32))
+    init = rng.integers(0, A, size=(n_samples, chains, P, NB)).astype(np.int32)
+    nall = np.full((n_samples, NB), A, np.int32)
+    break_dist = np.zeros((n_samples, NB))
+    break_dist[:, 0] = 1.0
+    kwargs = dict(
+        seed=7, p_recomb=0.5, p_partial=0.5, p_full=1.0, interpret=True
+    )
+    full = _fit_denovo_batch_pallas(
+        log_reads, counts, init, nall, break_dist, P, steps, chains, **kwargs
+    )
+    pre = _fit_denovo_batch_pallas(
+        log_reads, counts, init, nall, break_dist, P, steps, chains,
+        burn=burn, **kwargs
+    )
+    for tr_full, tr_pre in zip(full, pre):
+        assert tr_pre.genotypes.shape == (chains, steps - burn, P, NB)
+        assert tr_pre.pre_burned == burn
+        want = tr_full.burn(burn)
+        got = tr_pre.burn(burn)  # no-op: already sliced on device
+        np.testing.assert_array_equal(got.genotypes, want.genotypes)
+        np.testing.assert_array_equal(got.llks, want.llks)
