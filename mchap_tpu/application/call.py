@@ -178,6 +178,7 @@ class program(call_baseclass.program):
                 steps=self.mcmc_steps,
                 chains=self.mcmc_chains,
                 random_seed=self.random_seed,
+                burn=self.mcmc_burn,
             )
             timing.count_sampler_steps(
                 len(data.samples) * self.mcmc_chains * self.mcmc_steps
@@ -275,6 +276,7 @@ class program(call_baseclass.program):
                         steps=self.mcmc_steps,
                         chains=self.mcmc_chains,
                         random_seed=self.random_seed,
+                        burn=self.mcmc_burn,
                     )
                 except Exception:
                     continue  # per-sample fallback below

@@ -322,6 +322,7 @@ class program(call_baseclass.program):
                         steps=self.mcmc_steps,
                         chains=self.mcmc_chains,
                         random_seed=self.random_seed,
+                        burn=self.mcmc_burn,
                     )
                 except Exception:
                     fitted = None  # per-locus fallback below

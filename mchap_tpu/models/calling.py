@@ -22,7 +22,7 @@ from mchap_tpu.ops.likelihood import prepare_reads, read_hap_loglik
 
 
 def _fit_batch_pallas(read_hap, counts, ploidy, steps, chains, seed, n_alleles,
-                      n_valid=None):
+                      n_valid=None, burn=0):
     """Run all samples x chains through the VMEM-resident pallas kernel.
 
     Layout: one 128-wide lane per chain (samples' read-hap matrices
@@ -53,13 +53,18 @@ def _fit_batch_pallas(read_hap, counts, ploidy, steps, chains, seed, n_alleles,
         jnp.int32(seed), rh_cl, counts_cl, n_steps=steps, ploidy=ploidy,
         n_valid=nv_cl,
     )
-    genotypes = np.asarray(genotypes)[:, :, :b]  # [steps, p, S*chains]
-    llks = np.asarray(llks)[:, :b]
-    genotypes = genotypes.reshape(steps, ploidy, n_samples, chains)
-    genotypes = genotypes.transpose(2, 3, 0, 1).astype(np.int32)
-    llks = llks.reshape(steps, n_samples, chains).transpose(1, 2, 0)
+    # slice burn-in and downcast ON DEVICE: only kept steps cross the link
+    small = jnp.int8 if n_alleles <= 127 else jnp.int16
+    genotypes = np.asarray(genotypes[burn:].astype(small))[:, :, :b]
+    llks = np.asarray(llks[burn:])[:, :b]
+    kept = steps - burn
+    genotypes = genotypes.reshape(kept, ploidy, n_samples, chains)
+    genotypes = genotypes.transpose(2, 3, 0, 1)
+    llks = llks.reshape(kept, n_samples, chains).transpose(1, 2, 0)
     return [
-        GenotypeAllelesMultiTrace(genotypes[i], llks[i].astype(float), n_alleles)
+        GenotypeAllelesMultiTrace(
+            genotypes[i], llks[i].astype(float), n_alleles, burn
+        )
         for i in range(n_samples)
     ]
 
@@ -187,6 +192,7 @@ def fit_calling_batch(
     chains=2,
     random_seed=None,
     step_type="Gibbs",
+    burn=0,
 ):
     """Fit the calling sampler for MANY samples in one device program.
 
@@ -245,7 +251,8 @@ def fit_calling_batch(
     ):
         try:
             return _fit_batch_pallas(
-                read_hap, counts, ploidy, steps, chains, seed, n_alleles
+                read_hap, counts, ploidy, steps, chains, seed, n_alleles,
+                burn=burn,
             )
         except Exception:
             pass  # fall through to the XLA path
@@ -278,10 +285,11 @@ def fit_calling_batch(
         np.asarray(counts), np.asarray(inbreeding),
     )
     genotypes, llks = jax.vmap(one)(keys, read_hap, counts, inbreeding)
-    genotypes = gather_result(genotypes).astype(np.int32)[:n_samples]
-    llks = gather_result(llks)[:n_samples]
+    small = jnp.int8 if n_alleles <= 127 else jnp.int16
+    genotypes = gather_result(genotypes[:, :, burn:].astype(small))[:n_samples]
+    llks = gather_result(llks[:, :, burn:])[:n_samples]
     return [
-        GenotypeAllelesMultiTrace(genotypes[i], llks[i], n_alleles)
+        GenotypeAllelesMultiTrace(genotypes[i], llks[i], n_alleles, burn)
         for i in range(n_samples)
     ]
 
@@ -293,6 +301,7 @@ def fit_calling_multi(
     chains=2,
     random_seed=None,
     step_type="Gibbs",
+    burn=0,
 ):
     """Fit the calling sampler for problems spanning MANY LOCI at once.
 
@@ -365,13 +374,14 @@ def fit_calling_multi(
         try:
             traces = _fit_batch_pallas(
                 read_hap, counts, ploidy, steps, chains, seed, h_max,
-                n_valid=n_valid,
+                n_valid=n_valid, burn=burn,
             )
             # rewrap with each problem's own panel size (padding columns
             # are -inf so never sampled)
             return [
                 GenotypeAllelesMultiTrace(
-                    t.genotypes, t.llks, len(problems[i]["haplotypes"])
+                    t.genotypes, t.llks, len(problems[i]["haplotypes"]),
+                    t.pre_burned,
                 )
                 for i, t in enumerate(traces)
             ]
@@ -422,11 +432,12 @@ def fit_calling_multi(
         genotypes, llks = jax.vmap(
             lambda k, rh, c, f, nv: one(k, rh, c, f, None, nv)
         )(keys, read_hap, counts, inbreeding, n_valid_j)
-    genotypes = gather_result(genotypes).astype(np.int32)[:n_problems]
-    llks = gather_result(llks)[:n_problems]
+    small = jnp.int8 if h_max <= 127 else jnp.int16
+    genotypes = gather_result(genotypes[:, :, burn:].astype(small))[:n_problems]
+    llks = gather_result(llks[:, :, burn:])[:n_problems]
     return [
         GenotypeAllelesMultiTrace(
-            genotypes[i], llks[i], len(problems[i]["haplotypes"])
+            genotypes[i], llks[i], len(problems[i]["haplotypes"]), burn
         )
         for i in range(n_problems)
     ]
@@ -442,14 +453,24 @@ class GenotypeAllelesMultiTrace:
     genotypes: np.ndarray  # [n_chains, n_steps, ploidy]
     llks: np.ndarray  # [n_chains, n_steps]
     n_allele: int
+    pre_burned: int = 0  # steps already dropped on device (batched paths)
 
     def relabel(self, labels):
         """Map alleles through ``labels``; reference classes.py:147-165."""
-        return type(self)(labels[self.genotypes], self.llks, labels.max() + 1)
+        return type(self)(
+            labels[self.genotypes], self.llks, labels.max() + 1, self.pre_burned
+        )
 
     def burn(self, n):
-        """Drop the first ``n`` steps of each chain."""
-        return type(self)(self.genotypes[:, n:], self.llks[:, n:], self.n_allele)
+        """Drop the first ``n`` steps of the ORIGINAL trace (a no-op for
+        steps the device already sliced, see ``pre_burned``)."""
+        k = max(n - self.pre_burned, 0)
+        return type(self)(
+            self.genotypes[:, k:],
+            self.llks[:, k:],
+            self.n_allele,
+            max(n, self.pre_burned),
+        )
 
     def posterior(self):
         """Posterior over unique genotypes (frequency in merged trace)."""

@@ -140,6 +140,7 @@ def fit_pedigree_multi(
     random_seed=None,
     step_type="Gibbs",
     swap_parental_alleles=True,
+    burn=0,
 ):
     """Fit the pedigree sampler for MANY LOCI of the same pedigree at once.
 
@@ -285,7 +286,9 @@ def fit_pedigree_multi(
                 trace[:, :, :, j, :], ploidy - max_ploidy, axis=-1
             )
     return [
-        PedigreeAllelesMultiTrace(trace[i], n_allele=int(n_valid[i]))
+        PedigreeAllelesMultiTrace(
+            trace[i], n_allele=int(n_valid[i]), pre_burned=burn
+        )
         for i in range(n_problems)
     ]
 
@@ -296,9 +299,17 @@ class PedigreeAllelesMultiTrace:
 
     genotypes: np.ndarray  # [chains, steps, n_samples, max_ploidy]
     n_allele: int
+    pre_burned: int = 0  # steps already dropped on device (batched path)
 
     def burn(self, n):
-        return type(self)(self.genotypes[:, n:], n_allele=self.n_allele)
+        """Drop the first ``n`` steps of the ORIGINAL trace (a no-op for
+        steps the device already sliced, see ``pre_burned``)."""
+        k = max(n - self.pre_burned, 0)
+        return type(self)(
+            self.genotypes[:, k:],
+            n_allele=self.n_allele,
+            pre_burned=max(n, self.pre_burned),
+        )
 
     def individual(self, index):
         """Per-sample GenotypeAllelesMultiTrace (padding stripped)."""
