@@ -14,12 +14,28 @@ Public API mirrors the reference's ``mchap/__init__.py``:
 CLI (``python -m mchap_tpu``).
 """
 
+import os as _os
+
 import jax
 
 # Combinadic genotype indices and exact log-space reductions need 64-bit
 # integers/floats; hot kernels request f32/bf16 explicitly so this only
 # affects the small summary computations.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the batched pipelines compile a handful
+# of large programs per shape bucket (remote-TPU compiles run minutes);
+# caching them on disk makes every process after the first start warm.
+try:
+    _cache_dir = _os.environ.get(
+        "MCHAP_JAX_CACHE", _os.path.expanduser("~/.cache/mchap_tpu_jax")
+    )
+    if _cache_dir:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is an optimisation, never a requirement
+    pass
 
 __version__ = "0.1.0"
 
