@@ -335,6 +335,8 @@ def _wrap_native_records(lib, handle, refs):
     import ctypes
 
     n = lib.bam_n_records(handle)
+    if n == 0:
+        return {}
 
     def ints(fn, count):
         return np.ctypeslib.as_array(fn(handle), shape=(count,)).copy()
@@ -414,9 +416,7 @@ class AlignmentFile:
             self._format = "SAM"
         self._load_header()
 
-    def _load_cram(self):
-        """Decode the whole CRAM through the native library (header and
-        records together; CRAM containers interleave both)."""
+    def _cram_lib(self):
         from mchap_tpu.native import load_library
 
         lib = load_library()
@@ -425,10 +425,26 @@ class AlignmentFile:
                 "CRAM decoding requires the native decoder "
                 "(g++ toolchain unavailable)"
             )
+        return lib
+
+    def _load_cram(self, header_only=False):
+        """Decode the CRAM through the native library.
+
+        ``header_only`` reads just the SAM header container (container
+        headers are walked, data containers skipped) so opening a CRAM
+        costs O(header), mirroring the BAM/.bai pattern; a later region
+        fetch decodes only overlapping containers."""
+        lib = self._cram_lib()
         ref = self._reference_filename
-        handle = lib.cram_load(
-            self._path.encode(), (str(ref) if ref else "").encode()
-        )
+        if header_only:
+            handle = lib.cram_load_region(
+                self._path.encode(), (str(ref) if ref else "").encode(),
+                b"", 0, 0,
+            )
+        else:
+            handle = lib.cram_load(
+                self._path.encode(), (str(ref) if ref else "").encode()
+            )
         if not handle:
             raise ValueError(
                 f"CRAM decode failed for {self._path}: "
@@ -440,15 +456,43 @@ class AlignmentFile:
             header, sam_refs = _parse_sam_header_text(text)
             self.header = header
             self._refs = sam_refs
-            self._records_by_contig = _wrap_native_records(
-                lib, handle, self._refs
-            )
+            if not header_only:
+                self._records_by_contig = _wrap_native_records(
+                    lib, handle, self._refs
+                )
         finally:
             lib.bam_free(handle)
 
+    def _fetch_cram_region(self, contig, start, stop):
+        """Decode only the CRAM containers overlapping the region (the
+        same per-container coordinate filter a .crai index provides)."""
+        lib = self._cram_lib()
+        ref = self._reference_filename
+        beg = 0 if start is None else max(0, int(start))
+        end = (1 << 62) if stop is None else int(stop)
+        handle = lib.cram_load_region(
+            self._path.encode(), (str(ref) if ref else "").encode(),
+            contig.encode(), beg, end,
+        )
+        if not handle:
+            raise ValueError(
+                f"CRAM region decode failed for {self._path}: "
+                f"{lib.bam_error().decode()}"
+            )
+        try:
+            buckets = _wrap_native_records(lib, handle, self._refs)
+        finally:
+            lib.bam_free(handle)
+        for read in buckets.get(contig, []):
+            if start is not None and read.reference_end <= start:
+                continue
+            if stop is not None and read.pos >= stop:
+                continue
+            yield read
+
     def _load_header(self):
         if self._format == "CRAM":
-            self._load_cram()
+            self._load_cram(header_only=True)
             return
         if self._format == "BAM":
             with gzip.open(self._path, "rb") as f:
@@ -612,6 +656,9 @@ class AlignmentFile:
             self._load_records()
             for bucket in self._records_by_contig.values():
                 yield from bucket
+            return
+        if self._records_by_contig is None and self._format == "CRAM":
+            yield from self._fetch_cram_region(contig, start, stop)
             return
         if self._records_by_contig is None and self._load_region_index() is not None:
             yield from self._fetch_indexed(contig, start, stop)

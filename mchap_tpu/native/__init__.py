@@ -56,6 +56,10 @@ def load_library():
     lib.bam_load.argtypes = [c_char_p]
     lib.cram_load.restype = c_void_p
     lib.cram_load.argtypes = [c_char_p, c_char_p]
+    lib.cram_load_region.restype = c_void_p
+    lib.cram_load_region.argtypes = [
+        c_char_p, c_char_p, c_char_p, ctypes.c_int64, ctypes.c_int64,
+    ]
     lib.bam_error.restype = c_char_p
     lib.bam_free.argtypes = [c_void_p]
     lib.bam_n_records.restype = ctypes.c_int64

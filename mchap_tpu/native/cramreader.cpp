@@ -1267,9 +1267,18 @@ void collect_sq(const std::string& header_text, BamData* bam) {
 
 }  // namespace
 
-extern "C" {
-
-void* cram_load(const char* path, const char* fasta_path) {
+// Shared loader. With region_ref != nullptr only data containers whose
+// (ref_id, start, span) header coordinates can overlap
+// [rstart, rstop) of that reference decode — container headers are a
+// few bytes, so skipping is O(1) per container and the expensive block
+// decompression runs only for the region (the same information a .crai
+// index stores per slice).  rstop == 0 with empty region_ref means
+// "header only" (skip every data container).  Multi-reference
+// containers (ref_id == -2) always decode; their records carry their
+// own reference ids and are filtered by the caller.
+static void* cram_load_impl(const char* path, const char* fasta_path,
+                            const char* region_ref, int64_t rstart,
+                            int64_t rstop) {
     g_error.clear();
     std::string data;
     {
@@ -1362,6 +1371,28 @@ void* cram_load(const char* path, const char* fasta_path) {
             c.p = body_end;
             continue;
         }
+        if (region_ref) {
+            if (!region_ref[0] && rstop == 0) {
+                // header-only load: skip every data container
+                c.p = body_end;
+                continue;
+            }
+            if (h.ref_id >= 0) {
+                // resolve the region reference lazily (needs @SQ order)
+                bool match = h.ref_id < (int32_t)bam->ref_names.size() &&
+                             bam->ref_names[h.ref_id] == region_ref;
+                int64_t c_start = (int64_t)h.start - 1;  // 1-based -> 0-based
+                int64_t c_end = c_start + (int64_t)h.span;
+                if (!match || c_end <= rstart || c_start >= rstop) {
+                    c.p = body_end;
+                    continue;
+                }
+            } else if (h.ref_id == -1) {
+                c.p = body_end;  // unmapped container: outside any region
+                continue;
+            }
+            // ref_id == -2 (multi-reference): decode, caller filters
+        }
         // data container: block 0 = compression header, then slices at
         // the landmark offsets
         Block chb;
@@ -1414,6 +1445,20 @@ void* cram_load(const char* path, const char* fasta_path) {
         c.p = body_end;
     }
     return bam.release();
+}
+
+extern "C" {
+
+void* cram_load(const char* path, const char* fasta_path) {
+    return cram_load_impl(path, fasta_path, nullptr, 0, 0);
+}
+
+// Region-limited load (htslib .crai fetch semantics without the index:
+// CRAM container headers already carry the per-container coordinates).
+// ref == "" with stop == 0 loads the SAM header only.
+void* cram_load_region(const char* path, const char* fasta_path,
+                       const char* ref, int64_t start, int64_t stop) {
+    return cram_load_impl(path, fasta_path, ref ? ref : "", start, stop);
 }
 
 }  // extern "C"

@@ -281,3 +281,22 @@ def test_is_bgzf_discriminates(tmp_path):
     assert not indexing.is_bgzf(plain)
     assert indexing.is_bgzf(data_path("simple.vcf.gz"))
     assert indexing.is_bgzf(data_path("simple.sample1.bam"))
+
+
+@pytest.mark.parametrize(
+    "cram", ["simple.sample1.broken.cram", "simple.sample2.broken.cram"]
+)
+@pytest.mark.parametrize("region", REGIONS)
+def test_cram_region_fetch_matches_full_decode(cram, region):
+    """CRAM region fetches decode only overlapping containers (the
+    coordinate filter a .crai provides, read from container headers) and
+    must equal the whole-file decode."""
+    contig, start, stop = region
+    ref = data_path("simple.fasta")
+    region_af = AlignmentFile(data_path(cram), reference_filename=ref)
+    assert region_af._records_by_contig is None  # header-only open
+    got = [read_key(r) for r in region_af.fetch(contig, start, stop)]
+    full = AlignmentFile(data_path(cram), reference_filename=ref)
+    full._load_cram()  # whole-file decode path
+    expected = [read_key(r) for r in full.fetch(contig, start, stop)]
+    assert got == expected
