@@ -300,3 +300,36 @@ def test_cram_region_fetch_matches_full_decode(cram, region):
     full._load_cram()  # whole-file decode path
     expected = [read_key(r) for r in full.fetch(contig, start, stop)]
     assert got == expected
+
+
+def write_synthetic_csi(bai_path, csi_path):
+    """Convert a (synthetic) BAI to an equivalent CSI (same binning at
+    min_shift=14/depth=5, per-bin loffset=0 = no filtering)."""
+    import gzip as _gzip
+
+    idx = indexing.read_bai(bai_path)
+    out = bytearray(b"CSI\x01")
+    out += struct.pack("<iii", 14, 5, 0)  # min_shift, depth, l_aux
+    out += struct.pack("<i", len(idx.refs))
+    for bins, _linear in idx.refs:
+        out += struct.pack("<i", len(bins))
+        for b in sorted(bins):
+            chunks = bins[b]
+            out += struct.pack("<IQi", b, 0, len(chunks))
+            for vbeg, vend in chunks:
+                out += struct.pack("<QQ", vbeg, vend)
+    with _gzip.open(csi_path, "wb") as f:
+        f.write(bytes(out))
+
+
+def test_csi_fetch_matches_bai(tmp_path):
+    bam = tmp_path / "synthetic.bam"
+    positions = write_synthetic_bam(bam, n_reads=3000)
+    write_synthetic_csi(str(bam) + ".bai", str(bam) + ".csi")
+    (tmp_path / "synthetic.bam.bai").unlink()  # force the CSI path
+    af = AlignmentFile(bam)
+    assert isinstance(af._load_region_index(), indexing.RegionIndex)
+    for lo, hi in ((40_000, 40_321), (0, 120), (149_000, 150_000)):
+        got = sorted(r.pos for r in af.fetch("CHRX", lo, hi))
+        expected = sorted(int(p) for p in positions if p + 100 > lo and p < hi)
+        assert got == expected, (lo, hi)
