@@ -108,6 +108,58 @@ def test_fit_denovo_multi_sharded_matches_single_device(monkeypatch):
         np.testing.assert_allclose(a.llks, b.llks, rtol=1e-12)
 
 
+class _MultiControllerJax:
+    """Proxy for the ``jax`` module that reports >1 processes.
+
+    Confines the fake to parallel/sharding.py so the real jax runtime
+    (still single-process) is untouched; everything else delegates.
+    """
+
+    def __init__(self, real, n=2):
+        self._real = real
+        self._n = n
+
+    def process_count(self):
+        return self._n
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
+def test_shard_problems_multicontroller_branch(monkeypatch):
+    """The multi-controller assembly path (make_array_from_callback from
+    per-process addressable shards) must produce the same global array
+    as the single-controller device_put path."""
+    import mchap_tpu.parallel.sharding as sharding_mod
+
+    mesh = problem_mesh(5)
+    data = np.arange(5 * 3, dtype=np.float32).reshape(5, 3)
+    n1, placed1 = shard_problems(mesh, 5, data)
+
+    monkeypatch.setattr(sharding_mod, "jax", _MultiControllerJax(jax))
+    n2, placed2 = shard_problems(mesh, 5, data)
+
+    assert n1 == n2 == 8
+    np.testing.assert_array_equal(np.asarray(placed1), np.asarray(placed2))
+    assert placed2.sharding == placed1.sharding
+    assert len(placed2.sharding.device_set) == 8
+
+
+def test_gather_result_multicontroller_branch(monkeypatch):
+    """gather_result's cross-host all-gather branch returns the full
+    array (trivially, with one real process) instead of raising."""
+    import mchap_tpu.parallel.sharding as sharding_mod
+    from mchap_tpu.parallel.sharding import gather_result
+
+    mesh = problem_mesh(4)
+    _, placed = shard_problems(mesh, 8, np.arange(8.0))
+    expect = np.asarray(placed)
+
+    monkeypatch.setattr(sharding_mod, "jax", _MultiControllerJax(jax))
+    got = gather_result(placed)
+    np.testing.assert_array_equal(got, expect)
+
+
 def test_pooled_info_collectives_match_host_formulas():
     """psum pooling == the reference's parent-process reductions
     (elementwise sums; AOP as 1 - prod(1 - p); baseclass.py:245-301)."""
