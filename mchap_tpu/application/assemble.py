@@ -11,7 +11,7 @@ import numpy as np
 
 from mchap_tpu import mset
 from mchap_tpu.application import baseclass
-from mchap_tpu.utils import timing
+from mchap_tpu.utils import fallback, timing
 from mchap_tpu.application.arguments import (
     ASSEMBLE_MCMC_PARSER_ARGUMENTS,
     collect_assemble_mcmc_program_arguments,
@@ -327,8 +327,12 @@ class program(baseclass.program):
                         random_seed=self.random_seed,
                         burn=self.mcmc_burn,
                     )
-                except Exception:
-                    continue  # per-sample fallback in call_sample_genotypes
+                except Exception as e:  # noqa: BLE001 — reported, strict-gated
+                    # per-sample fallback in call_sample_genotypes
+                    fallback.note_fallback(
+                        "assemble-block", e, to="per-locus"
+                    )
+                    continue
                 timing.count_sampler_steps(
                     len(items) * self.mcmc_chains * self.mcmc_steps
                 )

@@ -363,23 +363,29 @@ class program:
                 "--cores is ignored: cross-locus device batching "
                 "supersedes process parallelism (see --locus-batch)."
             )
+        # multi-controller SPMD: every process computes the full result
+        # (parallel/sharding.py gathers across hosts), so only process 0
+        # emits the VCF (parallel/distributed.py)
+        from mchap_tpu.parallel.distributed import is_output_process
+
+        emit = sys.stdout.write if is_output_process() else (lambda s: None)
         block = self._locus_batch_size()
         for line in self.header():
-            sys.stdout.write(line + "\n")
+            emit(line + "\n")
         if block <= 1:
             for line in self._assemble_loci_wrapped(self._timed_loci()):
-                sys.stdout.write(line + "\n")
+                emit(line + "\n")
         else:
             pending = []
             for locus in self._timed_loci():
                 pending.append(locus)
                 if len(pending) >= block:
                     for line in self._call_locus_block(pending):
-                        sys.stdout.write(line + "\n")
+                        emit(line + "\n")
                     pending = []
             if pending:
                 for line in self._call_locus_block(pending):
-                    sys.stdout.write(line + "\n")
+                    emit(line + "\n")
         timing.emit_summary()
 
 

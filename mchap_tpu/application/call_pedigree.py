@@ -24,7 +24,7 @@ from mchap_tpu.application.baseclass import (
     LocusAssemblyError,
     SampleAssemblyError,
 )
-from mchap_tpu.utils import timing
+from mchap_tpu.utils import fallback, timing
 from mchap_tpu.application.call_exact import _fill_invalid_sampledata
 from mchap_tpu.encoding.integer import minimum_error_correction
 from mchap_tpu.io import vcf as VCF
@@ -324,8 +324,12 @@ class program(call_baseclass.program):
                         random_seed=self.random_seed,
                         burn=self.mcmc_burn,
                     )
-                except Exception:
-                    fitted = None  # per-locus fallback below
+                except Exception as e:  # noqa: BLE001 — reported, strict-gated
+                    # per-locus fallback below
+                    fallback.note_fallback(
+                        "pedigree-block", e, to="per-locus"
+                    )
+                    fitted = None
                 if fitted is not None:
                     timing.count_sampler_steps(
                         len(problems)

@@ -9,6 +9,12 @@ import sys
 def main(command=None):
     if command is None:
         command = sys.argv
+    # multi-host SPMD: env-gated jax.distributed.initialize before any
+    # backend touch (parallel/distributed.py; no-op unless
+    # MCHAP_DISTRIBUTED is set)
+    from mchap_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()
     tools = ["assemble", "call", "call-exact", "call-pedigree", "find-snvs", "atomize"]
     usage = "usage: mchap [-h] {" + ",".join(tools) + "} ..."
     if len(command) < 2 or command[1] in {"-h", "--help"}:

@@ -21,6 +21,7 @@ from scipy import stats as _stats
 from mchap_tpu import mset
 
 from mchap_tpu.ops import assemble_mcmc as _kernel
+from mchap_tpu.utils import fallback as _fallback
 from mchap_tpu.ops.likelihood import prepare_reads
 
 
@@ -34,17 +35,26 @@ def _point_beta_probabilities(n_base, a=1, b=1):
 
 
 def _read_mean_dist(reads):
-    """Mean read distribution used for genotype init; mcmc.py:455-491."""
-    reads = np.array(reads, dtype=float)
-    n_reads = len(reads)
-    gaps = np.isnan(reads).all(axis=0)
-    reads[np.tile(gaps, (n_reads, 1, 1))] = 1
-    dist = np.nanmean(reads, axis=0)
-    n_alleles = np.sum(~np.all(reads == 0, axis=0), axis=1, keepdims=True)
-    fill = 1 / np.tile(n_alleles, (1, reads.shape[-1]))
-    dist[gaps] = fill[gaps]
-    dist /= dist.sum(axis=-1, keepdims=True)
-    return dist
+    """Per-position allele profile for chain initialisation.
+
+    The mean of the observed read distributions at each (position,
+    allele) cell; cells no read observed get a uniform share over the
+    position's allowed alleles (disallowed slots are all-zero columns
+    and keep probability 0).  Matches the initialisation semantics of
+    reference mcmc.py:455-491, computed via masked sums instead of
+    in-place fills.
+    """
+    reads = np.asarray(reads, float)
+    observed = ~np.isnan(reads)  # [R, nb, A]
+    n_obs = observed.sum(axis=0)  # [nb, A]
+    total = np.where(observed, reads, 0.0).sum(axis=0)
+    mean = total / np.maximum(n_obs, 1)
+    # slots disallowed at a position are all-zero across reads (nan-safe:
+    # nan != 0 so gap cells still count as allowed)
+    allowed = ~np.all(np.nan_to_num(reads, nan=1.0) == 0.0, axis=0)
+    uniform = 1.0 / allowed.sum(axis=1, keepdims=True)
+    dist = np.where(n_obs > 0, mean, uniform)
+    return dist / dist.sum(axis=-1, keepdims=True)
 
 
 @dataclass
@@ -177,7 +187,7 @@ class DenovoMCMC:
 def _fit_denovo_batch_pallas(
     log_reads, counts, init, n_alleles_eff, break_dist, ploidy, steps,
     chains, seed, p_recomb, p_partial, p_full, temperatures=(1.0,),
-    alphas=None, burn=0, interpret=False,
+    alphas=None, burn=0, interpret=False, mesh="auto",
 ):
     """Run all samples x chains through the full-step pallas kernel.
 
@@ -187,14 +197,31 @@ def _fit_denovo_batch_pallas(
     the XLA path — systematic site order, Bernoulli interval partitions
     capped at NB//4+2 segments — are valid sampler choices covered by
     the exact-posterior gate (scripts/gate_pallas_denovo.py).
+
+    Multi-chip: the lane axis is embarrassingly parallel, so with more
+    than one visible device the kernel launch is wrapped in
+    ``shard_map`` over a 1-D "lanes" mesh — each device runs its own
+    kernel instance on its block of lane tiles (the reference's
+    process-per-locus-block scaling, baseclass.py:360-394, mapped onto
+    the fast path).  Per-device PRNG seeds are offset by the device's
+    global tile index so no two devices share a random stream.
+    ``mesh``: "auto" resolves via ``parallel.sharding.lane_mesh``;
+    ``None`` forces single-device; an explicit Mesh pins one.
     """
     from mchap_tpu.ops.pallas_denovo import pallas_denovo_sampler
+    from mchap_tpu.parallel.sharding import lane_mesh
+
+    if mesh == "auto":
+        mesh = lane_mesh()
+    n_shards = 1 if mesh is None else mesh.devices.size
 
     n_samples, n_reads, n_pos, max_allele = log_reads.shape
     b = n_samples * chains
-    # pad to 4 lane-tiles so the kernel can pack CHUNK=4 chain groups
-    # per instance (dummy lanes ride along at zero marginal cost)
-    b_pad = ((b + 511) // 512) * 512
+    # pad to 4 lane-tiles PER DEVICE so every kernel instance can pack
+    # CHUNK=4 chain groups (dummy lanes ride along at zero marginal
+    # cost; with a mesh they also keep per-device blocks tile-aligned)
+    granule = 512 * n_shards
+    b_pad = ((b + granule - 1) // granule) * granule
     lr_cl = jnp.repeat(
         jnp.transpose(jnp.asarray(log_reads, jnp.float32), (1, 2, 3, 0)),
         chains, axis=3,
@@ -233,15 +260,48 @@ def _fit_denovo_batch_pallas(
                 alphas_cl, (0, b_pad - b), constant_values=1.0
             )
     temps = np.sort(np.asarray(temperatures, np.float32))
-    packed, llks = pallas_denovo_sampler(
-        jnp.int32(seed), lr_cl, counts_cl, init_cl,
-        jnp.asarray(nall_cl), jnp.asarray(pbreak),
-        jnp.asarray(temps) if len(temps) > 1 else None,
-        None if alphas_cl is None else jnp.asarray(alphas_cl),
-        n_steps=steps, ploidy=ploidy, p_recomb=p_recomb,
-        p_partial=p_partial, p_full=p_full, packed=True,
-        interpret=interpret,
+    temps_arr = jnp.asarray(temps) if len(temps) > 1 else None
+
+    def _run(seed_arr, lr, c, g0, na, pb, al):
+        return pallas_denovo_sampler(
+            seed_arr, lr, c, g0, na, pb, temps_arr,
+            al if alphas_cl is not None else None,
+            n_steps=steps, ploidy=ploidy, p_recomb=p_recomb,
+            p_partial=p_partial, p_full=p_full, packed=True,
+            interpret=interpret,
+        )
+
+    args = (
+        lr_cl, counts_cl, init_cl, jnp.asarray(nall_cl),
+        jnp.asarray(pbreak),
+        jnp.asarray(alphas_cl)
+        if alphas_cl is not None
+        else jnp.zeros(b_pad, jnp.float32),
     )
+    if mesh is None:
+        packed, llks = _run(jnp.int32(seed), *args)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        local_tiles = (b_pad // n_shards) // 128
+
+        def _body(lr, c, g0, na, pb, al):
+            # per-device seed offset = global-first-tile * n_steps,
+            # matching the kernel's seed + tile * n_steps + step layout
+            d = jax.lax.axis_index("lanes").astype(jnp.int32)
+            seed_local = jnp.int32(seed) + d * jnp.int32(
+                local_tiles * steps
+            )
+            return _run(seed_local, lr, c, g0, na, pb, al)
+
+        lanes_last = lambda a: P(*([None] * (a.ndim - 1) + ["lanes"]))  # noqa: E731
+        packed, llks = jax.shard_map(
+            _body,
+            mesh=mesh,
+            in_specs=tuple(lanes_last(a) for a in args),
+            out_specs=(P(None, None, "lanes"), P(None, "lanes")),
+            check_vma=False,
+        )(*args)
     # pull the base-packed trace (4x less tunnel traffic than unpacked
     # int8 alleles) and decode host-side
     from mchap_tpu.ops.pallas_denovo import unpack_genotype_trace
@@ -447,9 +507,12 @@ def _fit_denovo_core(
                     out.append(t)
                 else:
                     out.append(traces[i])
+            _fallback.note_path("denovo", "pallas")
             return out
-        except Exception:
-            pass  # fall through to the XLA path
+        except Exception as e:  # noqa: BLE001 — reported, strict-gated
+            _fallback.note_fallback("denovo", e, to="xla")
+    else:
+        _fallback.note_path("denovo", "xla")
 
     def one(key, init_i, lr, c, na, bd, ib):
         return _kernel.denovo_sampler(
@@ -600,22 +663,22 @@ class PosteriorGenotypeDistribution:
         return self.genotypes[idx], self.probabilities[idx]
 
     def mode_genotype_support(self):
-        """Genotypes sharing the mode's allele support (classes.py:87-128)."""
-        labels = np.zeros(len(self.genotypes), dtype=int)
-        support_labels = {}
-        probs = {}
-        for i, gen in enumerate(self.genotypes):
-            key = mset.unique(gen).tobytes()
-            if key not in support_labels:
-                support_labels[key] = i
-                probs[i] = self.probabilities[i]
-            else:
-                probs[support_labels[key]] += self.probabilities[i]
-            labels[i] = support_labels[key]
-        keys, vals = zip(*probs.items())
-        mode = keys[int(np.argmax(vals))]
-        idx = labels == mode
-        return GenotypeSupportDistribution(self.genotypes[idx], self.probabilities[idx])
+        """Dosage-marginal mode: group genotypes by their allele-support
+        set, pick the heaviest group (reference semantics classes.py:87-128).
+        """
+        # support key = the genotype with duplicate haplotype rows
+        # dropped; genotypes here are row-sorted (trace canonicalisation)
+        # so equal supports serialize identically
+        keys = np.array([mset.unique(g).tobytes() for g in self.genotypes])
+        _, first, group = np.unique(keys, return_index=True, return_inverse=True)
+        group_probs = np.bincount(group, weights=self.probabilities)
+        # argmax with ties resolved to the group appearing earliest in
+        # the (descending-probability) posterior ordering
+        winner = np.lexsort((first, -group_probs))[0]
+        member = group == winner
+        return GenotypeSupportDistribution(
+            self.genotypes[member], self.probabilities[member]
+        )
 
     def allele_frequencies(self, dosage=False):
         """(haplotypes, frequencies, occurrence); classes.py:130-166."""
@@ -652,26 +715,22 @@ class GenotypeSupportDistribution:
 
     def call_genotype_support(self, threshold=0.95):
         """Most complete allele set exceeding ``threshold``; pads with
-        null alleles when needed (classes.py:207-244)."""
-        if np.max(self.probabilities) >= threshold:
-            idx = np.argmax(self.probabilities)
-            return self.genotypes[idx], self.probabilities[idx]
+        null alleles when needed (reference semantics classes.py:207-244).
+
+        The smallest probability-descending prefix of dosage alternatives
+        whose mass reaches ``threshold`` is intersected (multiset-wise);
+        haplotypes shared by every member are called, the rest are null.
+        """
+        order = np.argsort(-self.probabilities, kind="stable")
+        if self.probabilities[order[0]] >= threshold:
+            return self.genotypes[order[0]], self.probabilities[order[0]]
+        cum = np.cumsum(self.probabilities[order])
+        k = min(int(np.searchsorted(cum, threshold)) + 1, len(cum))
+        shared = reduce(mset.intercept, list(self.genotypes[order[:k]]))
         _, ploidy, n_pos = self.genotypes.shape
         result = np.full((ploidy, n_pos), -1, dtype=self.genotypes.dtype)
-        selected = []
-        p = 0.0
-        genotypes = list(self.genotypes)
-        probabilities = list(self.probabilities)
-        while p < threshold:
-            if len(probabilities) == 0:
-                break
-            idx = int(np.argmax(probabilities))
-            p += probabilities.pop(idx)
-            selected.append(genotypes.pop(idx))
-        alleles = reduce(mset.intercept, selected)
-        for i, hap in enumerate(alleles):
-            result[i] = hap
-        return result, p
+        result[: len(shared)] = shared
+        return result, cum[k - 1]
 
 
 @dataclass
@@ -753,41 +812,43 @@ class GenotypeMultiTrace:
 
 
 def call_posterior_haplotypes(posteriors, threshold=0.01):
-    """Population-level allele pooling; reference haplotype_calling.py:4-64.
+    """Pool per-sample posteriors into a population allele panel.
 
-    Returns (haplotypes [n, n_base] VCF-sorted with ref first, ref_observed).
+    Every haplotype whose occurrence probability reaches ``threshold``
+    in at least one sample enters the panel; alleles are weighted by
+    their summed posterior dosage across samples and emitted in VCF
+    order — the reference (all-zero) haplotype first, alternates by
+    descending pooled weight.  Returns ``(haplotypes, ref_observed)``.
+    Output-contract semantics match reference haplotype_calling.py:4-64
+    (re-derived on stacked arrays rather than per-haplotype dicts).
     """
-    haplotype_arrays = {}
-    haplotype_values = {}
+    n_base = posteriors[0].genotypes.shape[-1]
+    kept = []
+    kept_weights = []
     for post in posteriors:
         haps, weights, probs = post.allele_frequencies(dosage=True)
-        idx = probs >= threshold
-        haps = haps[idx]
-        weights = weights[idx]
-        for h, w in zip(haps, weights):
-            b = h.tobytes()
-            if b not in haplotype_arrays:
-                haplotype_arrays[b] = h
-                haplotype_values[b] = 0
-            haplotype_values[b] += w
-    refbytes = None
-    for b, h in haplotype_arrays.items():
-        if np.all(h == 0):
-            refbytes = b
-    if refbytes is not None:
-        haplotype_arrays.pop(refbytes)
-        haplotype_values.pop(refbytes)
-        ref_observed = True
-    else:
-        ref_observed = False
-    n_alleles = len(haplotype_arrays) + 1
-    n_base = posteriors[0].genotypes.shape[-1]
-    haplotypes = np.full((n_alleles, n_base), -1, np.int8)
-    values = np.full(n_alleles, -1, float)
-    for i, (b, h) in enumerate(haplotype_arrays.items()):
-        haplotypes[i] = h
-        values[i] = haplotype_values[b]
-    haplotypes[-1][:] = 0
-    values[-1] = values.max() + 1
-    order = np.flip(np.argsort(values, kind="stable"))
-    return haplotypes[order], ref_observed
+        supported = probs >= threshold
+        kept.append(haps[supported])
+        kept_weights.append(weights[supported])
+    pool = np.concatenate(
+        [np.asarray(h).reshape(len(h), n_base) for h in kept], axis=0
+    ).astype(np.int8)
+    pool_weights = np.concatenate(kept_weights)
+
+    # sum weights over duplicate rows, keeping first-appearance order
+    # (the tie-break order of the final sort)
+    uniq, first, inverse = np.unique(
+        pool, axis=0, return_index=True, return_inverse=True
+    )
+    totals = np.bincount(inverse, weights=pool_weights, minlength=len(uniq))
+    appearance = np.argsort(first, kind="stable")
+    uniq, totals = uniq[appearance], totals[appearance]
+
+    # the reference allele is emitted first whether observed or not
+    is_ref = np.all(uniq == 0, axis=1)
+    ref_observed = bool(is_ref.any())
+    alts, alt_weights = uniq[~is_ref], totals[~is_ref]
+    panel = np.concatenate([alts, np.zeros((1, n_base), np.int8)], axis=0)
+    weights = np.append(alt_weights, alt_weights.max(initial=-1.0) + 1.0)
+    order = np.flip(np.argsort(weights, kind="stable"))
+    return panel[order], ref_observed

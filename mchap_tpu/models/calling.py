@@ -15,6 +15,7 @@ import numpy as np
 
 from mchap_tpu import mset
 from mchap_tpu.numerics.combinadics import count_unique_genotypes
+from mchap_tpu.utils import fallback as _fallback
 from mchap_tpu.numerics.dosage import allelic_dosage  # noqa: F401 (re-export)
 from mchap_tpu.ops import calling_mcmc as _kernel
 from mchap_tpu.parallel.sharding import gather_result
@@ -22,7 +23,7 @@ from mchap_tpu.ops.likelihood import prepare_reads, read_hap_loglik
 
 
 def _fit_batch_pallas(read_hap, counts, ploidy, steps, chains, seed, n_alleles,
-                      n_valid=None, burn=0):
+                      n_valid=None, burn=0, interpret=False, mesh="auto"):
     """Run all samples x chains through the VMEM-resident pallas kernel.
 
     Layout: one 128-wide lane per chain (samples' read-hap matrices
@@ -30,12 +31,24 @@ def _fit_batch_pallas(read_hap, counts, ploidy, steps, chains, seed, n_alleles,
     multiple of 128).  Differences vs the XLA path — systematic slot
     order and an all-reference initial state — are valid sampler choices
     covered by the exact-posterior gates.
+
+    Multi-chip: with more than one visible device the kernel launch is
+    wrapped in ``shard_map`` over a 1-D "lanes" mesh (each device
+    samples its own block of lane tiles; per-device seeds are offset by
+    the device's global tile index).  ``mesh``: "auto" resolves via
+    ``parallel.sharding.lane_mesh``; ``None`` forces single-device.
     """
     from mchap_tpu.ops.pallas_calling import pallas_calling_sampler
+    from mchap_tpu.parallel.sharding import lane_mesh
+
+    if mesh == "auto":
+        mesh = lane_mesh()
+    n_shards = 1 if mesh is None else mesh.devices.size
 
     n_samples = read_hap.shape[0]
     b = n_samples * chains
-    b_pad = ((b + 127) // 128) * 128
+    granule = 128 * n_shards
+    b_pad = ((b + granule - 1) // granule) * granule
     rh_cl = jnp.repeat(
         jnp.transpose(read_hap, (1, 2, 0)), chains, axis=2
     ).astype(jnp.float32)  # [R, H, S*chains]
@@ -45,14 +58,46 @@ def _fit_batch_pallas(read_hap, counts, ploidy, steps, chains, seed, n_alleles,
     if b_pad != b:
         rh_cl = jnp.pad(rh_cl, ((0, 0), (0, 0), (0, b_pad - b)))
         counts_cl = jnp.pad(counts_cl, ((0, 0), (0, b_pad - b)))
-    nv_cl = None
     if n_valid is not None:
         nv_cl = np.repeat(np.asarray(n_valid, np.int32), chains)
         nv_cl = np.pad(nv_cl, (0, b_pad - b), constant_values=1)
-    genotypes, llks = pallas_calling_sampler(
-        jnp.int32(seed), rh_cl, counts_cl, n_steps=steps, ploidy=ploidy,
-        n_valid=nv_cl,
-    )
+        nv_arr = jnp.asarray(nv_cl)
+    else:
+        nv_arr = jnp.full((b_pad,), read_hap.shape[2], jnp.int32)
+
+    def _run(seed_arr, rh, c, nv):
+        return pallas_calling_sampler(
+            seed_arr, rh, c, n_steps=steps, ploidy=ploidy, n_valid=nv,
+            interpret=interpret,
+        )
+
+    if mesh is None:
+        genotypes, llks = _run(jnp.int32(seed), rh_cl, counts_cl, nv_arr)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        local_tiles = (b_pad // n_shards) // 128
+
+        def _body(rh, c, nv):
+            # per-device seed offset = global-first-tile * n_steps,
+            # matching the kernel's seed + tile * n_steps + step layout
+            d = jax.lax.axis_index("lanes").astype(jnp.int32)
+            seed_local = jnp.int32(seed) + d * jnp.int32(
+                local_tiles * steps
+            )
+            return _run(seed_local, rh, c, nv)
+
+        genotypes, llks = jax.shard_map(
+            _body,
+            mesh=mesh,
+            in_specs=(
+                P(None, None, "lanes"),
+                P(None, "lanes"),
+                P("lanes"),
+            ),
+            out_specs=(P(None, None, "lanes"), P(None, "lanes")),
+            check_vma=False,
+        )(rh_cl, counts_cl, nv_arr)
     # slice burn-in and downcast ON DEVICE: only kept steps cross the link
     small = jnp.int8 if n_alleles <= 127 else jnp.int16
     genotypes = np.asarray(genotypes[burn:].astype(small))[:, :, :b]
@@ -250,12 +295,16 @@ def fit_calling_batch(
         and vmem_bytes < 6 * 1024 * 1024
     ):
         try:
-            return _fit_batch_pallas(
+            traces = _fit_batch_pallas(
                 read_hap, counts, ploidy, steps, chains, seed, n_alleles,
                 burn=burn,
             )
-        except Exception:
-            pass  # fall through to the XLA path
+            _fallback.note_path("calling", "pallas")
+            return traces
+        except Exception as e:  # noqa: BLE001 — reported, strict-gated
+            _fallback.note_fallback("calling", e, to="xla")
+    else:
+        _fallback.note_path("calling", "xla")
 
     keys = jax.random.split(jax.random.PRNGKey(seed), n_samples)
 
@@ -378,6 +427,7 @@ def fit_calling_multi(
             )
             # rewrap with each problem's own panel size (padding columns
             # are -inf so never sampled)
+            _fallback.note_path("calling-multi", "pallas")
             return [
                 GenotypeAllelesMultiTrace(
                     t.genotypes, t.llks, len(problems[i]["haplotypes"]),
@@ -385,8 +435,10 @@ def fit_calling_multi(
                 )
                 for i, t in enumerate(traces)
             ]
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001 — reported, strict-gated
+            _fallback.note_fallback("calling-multi", e, to="xla")
+    else:
+        _fallback.note_path("calling-multi", "xla")
 
     prior_kind = 1 if use_prior else 0
     inbreeding = np.asarray(inbreeding_rows if use_prior else np.zeros(n_problems))

@@ -149,6 +149,150 @@ def _n_from_g(n_genotypes: int, ploidy: int) -> int:
     return n
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("ploidy", "use_prior"))
+def _exact_stats_batch(read_hap, counts, n_valid, inbreeding, frequencies,
+                       *, ploidy, use_prior):
+    """Batched exact posterior statistics over a padded panel.
+
+    ``read_hap``: f[B, R, H_pad] (padded haplotype columns MIN_LOG,
+    padded reads all-zero rows with count 0); ``n_valid``: i[B] true
+    panel sizes.  Genotypes drawing any allele >= n_valid[b] occupy a
+    contiguous SUFFIX of the VCF-ordered genotype table (the table over
+    the first H alleles is a prefix of the table over H' > H), so they
+    are masked to -inf before normalisation — the valid prefix is then
+    numerically the problem's own exact posterior.
+
+    Returns (alleles [B, ploidy], mode_prob [B], support_prob [B],
+    freqs [B, H_pad], occur [B, H_pad]).
+    """
+    n_pad = read_hap.shape[-1]
+    llks = genotype_likelihoods_from_read_hap(read_hap, ploidy, counts)
+    table = jnp.asarray(enumerate_genotypes(n_pad, ploidy))  # [G, ploidy]
+    if use_prior:
+        lprior = jax.vmap(
+            lambda ib, fr: log_genotype_prior(
+                table, n_pad, inbreeding=ib, frequencies=fr
+            )
+        )(inbreeding, frequencies)
+        scores = llks + lprior.astype(llks.dtype)
+    else:
+        scores = llks
+    valid = jnp.max(table, axis=-1)[None, :] < n_valid[:, None]  # [B, G]
+    scores = jnp.where(valid, scores, -jnp.inf)
+    post = jnp.exp(
+        scores - jax.scipy.special.logsumexp(scores, axis=-1)[..., None]
+    )
+    alleles, mode_prob, support_prob, _ = mode_genotype(post, ploidy, n_pad)
+    freqs, _, occur = posterior_allele_frequencies(post, ploidy, n_pad)
+    return alleles, mode_prob, support_prob, freqs, occur
+
+
+def exact_posterior_stats_multi(problems, ploidy, dtype=jnp.float64):
+    """Exact posterior-mode statistics for problems from MANY LOCI in
+    one device program (the ``call-exact`` analogue of
+    ``fit_calling_multi``'s cross-locus streaming).
+
+    Each problem: dict with ``reads`` (f[R_i, nb_i, A_i]), ``counts``
+    (f[R_i]), ``haplotypes`` (i[H_i, nb_i]) and optionally
+    ``inbreeding``/``frequencies``.  Panels pad to the block maximum
+    with MIN_LOG read-hap columns, reads to a power-of-two bucket; one
+    [B, R, H] x [H, G] program then computes every problem's full
+    VCF-ordered posterior (reference semantics calling/exact.py:156-249,
+    evaluated batched instead of as a per-genotype streaming scan).
+
+    A problem with ``inbreeding`` but no ``frequencies`` uses the
+    uniform 1/H_i frequencies (the reference's ``frequencies=None``
+    parametrisation, made explicit so panel padding cannot distort it).
+
+    Returns a list of dicts with keys ``alleles``, ``mode_prob``,
+    ``support_prob``, ``freqs``, ``occur`` (sliced to each problem's
+    own panel size).
+    """
+    from mchap_tpu.ops.likelihood import MIN_LOG
+
+    n_problems = len(problems)
+    use_prior = any(p.get("inbreeding") is not None for p in problems)
+    h_list = [len(p["haplotypes"]) for p in problems]
+    # pad the panel axis to a power of two: one compiled program (and
+    # one genotype table) per panel-size bucket across blocks
+    h_max = 1
+    while h_max < max(h_list):
+        h_max *= 2
+
+    rh_list = []
+    for p in problems:
+        log_reads = prepare_reads(p["reads"], dtype)
+        rh = np.asarray(
+            read_hap_loglik(log_reads, jnp.asarray(p["haplotypes"]))
+        )
+        if rh.shape[1] < h_max:
+            rh = np.concatenate(
+                [rh, np.full((rh.shape[0], h_max - rh.shape[1]), MIN_LOG)],
+                axis=1,
+            )
+        rh_list.append(rh)
+
+    bucket = 8
+    while bucket < max((len(r) for r in rh_list), default=1):
+        bucket *= 2
+    read_hap = np.zeros((n_problems, bucket, h_max))
+    counts = np.zeros((n_problems, bucket))
+    for i, (rh, p) in enumerate(zip(rh_list, problems)):
+        read_hap[i, : len(rh)] = rh
+        counts[i, : len(rh)] = p["counts"]
+
+    inbreeding = np.zeros(n_problems)
+    frequencies = np.zeros((n_problems, h_max))
+    for i, p in enumerate(problems):
+        inbreeding[i] = float(p.get("inbreeding") or 0.0)
+        freqs = p.get("frequencies")
+        if freqs is None:
+            freqs = np.full(h_list[i], 1.0 / h_list[i])
+        frequencies[i, : h_list[i]] = np.asarray(freqs, float)
+
+    # pad the problem axis to a fixed granularity (repeat the final
+    # problem) so block size changes re-use one compiled program
+    b_pad = ((n_problems + 31) // 32) * 32
+    n_valid = np.asarray(h_list, np.int32)
+    if b_pad != n_problems:
+        extra = b_pad - n_problems
+
+        def _rep(a):
+            return np.concatenate([a] + [a[-1:]] * extra)
+
+        read_hap, counts, n_valid, inbreeding, frequencies = map(
+            _rep, (read_hap, counts, n_valid, inbreeding, frequencies)
+        )
+
+    alleles, mode_prob, support_prob, freqs, occur = _exact_stats_batch(
+        jnp.asarray(read_hap, dtype),
+        jnp.asarray(counts, dtype),
+        jnp.asarray(n_valid),
+        jnp.asarray(inbreeding, dtype),
+        jnp.asarray(frequencies, dtype),
+        ploidy=ploidy,
+        use_prior=use_prior,
+    )
+    alleles = np.asarray(alleles)
+    mode_prob = np.asarray(mode_prob)
+    support_prob = np.asarray(support_prob)
+    freqs = np.asarray(freqs)
+    occur = np.asarray(occur)
+    return [
+        dict(
+            alleles=alleles[i],
+            mode_prob=float(mode_prob[i]),
+            support_prob=float(support_prob[i]),
+            freqs=freqs[i, : h_list[i]],
+            occur=occur[i, : h_list[i]],
+        )
+        for i in range(n_problems)
+    ]
+
+
 def posterior_mode(
     reads,
     ploidy,

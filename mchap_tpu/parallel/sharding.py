@@ -26,6 +26,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def lane_mesh():
+    """1-D "lanes" mesh over all visible devices, or None.
+
+    Used by the pallas fast paths (models/assemble.py,
+    models/calling.py) to shard the chain-lane batch axis: the lane
+    tiles are embarrassingly parallel, so each device runs its own
+    kernel instance on its block of lanes via ``shard_map`` (per-device
+    seeds are offset by the device's global tile index so random
+    streams never collide).  ``MCHAP_SHARD=0`` disables it.
+    """
+    if os.environ.get("MCHAP_SHARD", "auto").strip() == "0":
+        return None
+    devices = jax.devices()
+    if len(devices) <= 1:
+        return None
+    return Mesh(np.array(devices), ("lanes",))
+
+
 def problem_mesh(min_problems=2):
     """1-D "loci" mesh over all visible devices, or None.
 

@@ -128,6 +128,9 @@ class PipelineTimers:
                 f"  sampler: {self.sampler_steps:.3g} compound steps"
                 f" ({sps:.3g} steps/s aggregate)"
             )
+        from mchap_tpu.utils import fallback
+
+        lines.extend("  " + line for line in fallback.summary_lines())
         return lines
 
     def emit_summary(self):
