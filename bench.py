@@ -156,6 +156,67 @@ def measure_pallas_denovo(n_chains, steps, repeats=2):
     return n_chains * steps / best
 
 
+def measure_pedigree(n_loci, steps, repeats=2):
+    """Joint pedigree sampler over a bi-parental pedigree (22 samples:
+    2 parents + 20 progeny, the realistic example's structure), batched
+    over ``n_loci`` loci.  Returns compound steps/s where one compound
+    step = a full Gibbs sweep over every sample's allele slots plus the
+    parental-pair swap (reference pedigree/mcmc.py:658-814 semantics).
+    """
+    from mchap_tpu.models.pedigree import fit_pedigree_multi
+
+    rng = np.random.default_rng(0)
+    n_samples = 22
+    sample_parents = np.full((n_samples, 2), -1, int)
+    sample_parents[2:] = [0, 1]  # progeny of the two founders
+    sample_ploidy = np.full(n_samples, PLOIDY)
+    gamete_tau = np.full((n_samples, 2), PLOIDY // 2)
+    gamete_lambda = np.zeros((n_samples, 2))
+    gamete_error = np.full((n_samples, 2), 0.1)
+
+    haplotypes = np.zeros((N_HAPS, N_POS), np.int8)
+    haplotypes[1:] = rng.integers(0, N_ALLELE, (N_HAPS - 1, N_POS))
+    problems = []
+    for _ in range(n_loci):
+        truth = haplotypes[rng.integers(0, N_HAPS, (n_samples, PLOIDY))]
+        srcs = np.take_along_axis(
+            truth,
+            rng.integers(0, PLOIDY, (n_samples, N_READS))[..., None],
+            axis=1,
+        )
+        reads = np.where(
+            srcs[..., None] == np.arange(N_ALLELE), 0.99, 0.01
+        )
+        problems.append(
+            dict(
+                sample_reads=reads,
+                sample_read_counts=np.ones((n_samples, N_READS), int),
+                haplotypes=haplotypes,
+            )
+        )
+
+    def run(seed):
+        return fit_pedigree_multi(
+            problems,
+            sample_ploidy,
+            sample_parents,
+            gamete_tau,
+            gamete_lambda,
+            gamete_error,
+            steps=steps,
+            chains=1,
+            random_seed=seed,
+        )
+
+    run(0)  # compile
+    best = float("inf")
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run(1 + i)
+        best = min(best, time.perf_counter() - t0)
+    return n_loci * steps / best
+
+
 def measure_xla_calling(b, steps, repeats=2):
     """XLA formulation (fallback when pallas is unavailable)."""
     import jax
@@ -211,6 +272,11 @@ def main():
         results["calling"] = measure_xla_calling(
             2048 if on_tpu else 32, 200 if on_tpu else 50, repeats=1
         )
+    if on_tpu:
+        try:
+            results["pedigree"] = measure_pedigree(8, 50)
+        except Exception as e:  # pragma: no cover
+            results["pedigree_error"] = repr(e)
 
     oracle = oracle_rates()
     cores = 64  # BASELINE.md reference deployment
@@ -235,7 +301,17 @@ def main():
     extra["calling_vpu_utilization"] = round(
         results["calling"] * CALLING_FLOPS_PER_STEP / V5E_VPU_FLOPS, 4
     )
-    for k in ("denovo_error", "calling_error"):
+    if "pedigree" in results:
+        extra["pedigree_compound_steps_per_s"] = round(results["pedigree"], 1)
+        if oracle and "pedigree_steps_per_s_1core" in oracle:
+            pedigree_base = oracle["pedigree_steps_per_s_1core"] * cores
+            extra["baseline_pedigree_steps_per_s_64core"] = round(
+                pedigree_base, 1
+            )
+            extra["pedigree_vs_baseline"] = round(
+                results["pedigree"] / pedigree_base, 2
+            )
+    for k in ("denovo_error", "calling_error", "pedigree_error"):
         if k in results:
             extra[k] = results[k]
 

@@ -22,6 +22,7 @@ from mchap_tpu import mset
 
 from mchap_tpu.ops import assemble_mcmc as _kernel
 from mchap_tpu.utils import fallback as _fallback
+from mchap_tpu.utils import timing as _timing
 from mchap_tpu.ops.likelihood import prepare_reads
 
 
@@ -278,39 +279,48 @@ def _fit_denovo_batch_pallas(
         if alphas_cl is not None
         else jnp.zeros(b_pad, jnp.float32),
     )
-    if mesh is None:
-        packed, llks = _run(jnp.int32(seed), *args)
-    else:
-        from jax.sharding import PartitionSpec as P
+    with _timing.stage("device.kernel"):
+        if mesh is None:
+            packed, llks = _run(jnp.int32(seed), *args)
+        else:
+            from jax.sharding import PartitionSpec as P
 
-        local_tiles = (b_pad // n_shards) // 128
+            local_tiles = (b_pad // n_shards) // 128
 
-        def _body(lr, c, g0, na, pb, al):
-            # per-device seed offset = global-first-tile * n_steps,
-            # matching the kernel's seed + tile * n_steps + step layout
-            d = jax.lax.axis_index("lanes").astype(jnp.int32)
-            seed_local = jnp.int32(seed) + d * jnp.int32(
-                local_tiles * steps
-            )
-            return _run(seed_local, lr, c, g0, na, pb, al)
+            def _body(lr, c, g0, na, pb, al):
+                # per-device seed offset = global-first-tile * n_steps,
+                # matching the kernel's seed + tile * n_steps + step
+                # layout
+                d = jax.lax.axis_index("lanes").astype(jnp.int32)
+                seed_local = jnp.int32(seed) + d * jnp.int32(
+                    local_tiles * steps
+                )
+                return _run(seed_local, lr, c, g0, na, pb, al)
 
-        lanes_last = lambda a: P(*([None] * (a.ndim - 1) + ["lanes"]))  # noqa: E731
-        packed, llks = jax.shard_map(
-            _body,
-            mesh=mesh,
-            in_specs=tuple(lanes_last(a) for a in args),
-            out_specs=(P(None, None, "lanes"), P(None, "lanes")),
-            check_vma=False,
-        )(*args)
+            lanes_last = lambda a: P(*([None] * (a.ndim - 1) + ["lanes"]))  # noqa: E731
+            packed, llks = jax.shard_map(
+                _body,
+                mesh=mesh,
+                in_specs=tuple(lanes_last(a) for a in args),
+                out_specs=(P(None, None, "lanes"), P(None, "lanes")),
+                check_vma=False,
+            )(*args)
+        # sync on a tiny slice: separates kernel time from trace
+        # transfer in the timing summary (block_until_ready does not
+        # block through the remote tunnel)
+        np.asarray(llks[-1, :1])
     # pull the base-packed trace (4x less tunnel traffic than unpacked
     # int8 alleles) and decode host-side
     from mchap_tpu.ops.pallas_denovo import unpack_genotype_trace
 
     # slice the burn-in ON DEVICE: only kept steps cross the link
-    genotypes = unpack_genotype_trace(
-        np.asarray(packed[burn:])[..., :b], ploidy, max_allele
-    )  # [steps - burn, P, NB, S*chains]
-    llks = np.asarray(llks[burn:])[:, :b]
+    with _timing.stage("device.trace_fetch"):
+        packed_host = np.asarray(packed[burn:])[..., :b]
+        llks = np.asarray(llks[burn:])[:, :b]
+    with _timing.stage("device.trace_unpack"):
+        genotypes = unpack_genotype_trace(
+            packed_host, ploidy, max_allele
+        )  # [steps - burn, P, NB, S*chains]
     kept = steps - burn
     genotypes = genotypes.reshape(kept, ploidy, n_pos, n_samples, chains)
     genotypes = genotypes.transpose(3, 4, 0, 1, 2)  # [S, chains, kept, P, NB]
@@ -401,14 +411,17 @@ def _fit_denovo_core(
     n_samples, _, n_pos, _ = reads.shape
 
     # per-sample homozygote fixing, all samples in one device program
-    hom = _kernel.homozygosity_probabilities_batch(
-        reads,
-        n_alleles_mat,
-        ploidy,
-        use_prior=use_prior,
-        inbreeding_b=inbreeding,
-        read_counts_b=counts,
-    )  # [S, nb, A]
+    with _timing.stage("device.homfilter"):
+        hom = np.asarray(
+            _kernel.homozygosity_probabilities_batch(
+                reads,
+                n_alleles_mat,
+                ploidy,
+                use_prior=use_prior,
+                inbreeding_b=inbreeding,
+                read_counts_b=counts,
+            )
+        )  # [S, nb, A]
     fixed = hom >= fix_homozygous
     homozygous = np.any(fixed, axis=-1) | (n_alleles_mat <= 1)  # [S, nb]
     fixed_allele = np.where(
@@ -434,19 +447,21 @@ def _fit_denovo_core(
     key = jax.random.PRNGKey(seed)
     kinit, krun = jax.random.split(key)
 
-    init = np.zeros((n_samples, chains, ploidy, n_pos), np.int32)
-    u_all = np.asarray(
-        jax.random.uniform(
-            kinit, (n_samples, chains, ploidy, n_pos, 1), dtype=jnp.float64
+    with _timing.stage("host.chain_init"):
+        init = np.zeros((n_samples, chains, ploidy, n_pos), np.int32)
+        u_all = np.asarray(
+            jax.random.uniform(
+                kinit, (n_samples, chains, ploidy, n_pos, 1), dtype=jnp.float64
+            )
         )
-    )
-    for i in range(n_samples):
-        dist = _read_mean_dist(reads[i])
-        cdf = np.cumsum(dist, axis=-1)
-        sampled = (u_all[i] > cdf[None, None]).sum(axis=-1).astype(np.int32)
-        init[i] = np.where(
-            homozygous[i][None, None, :], fixed_allele[i][None, None, :], sampled
-        )
+        for i in range(n_samples):
+            dist = _read_mean_dist(reads[i])
+            cdf = np.cumsum(dist, axis=-1)
+            sampled = (u_all[i] > cdf[None, None]).sum(axis=-1).astype(np.int32)
+            init[i] = np.where(
+                homozygous[i][None, None, :], fixed_allele[i][None, None, :],
+                sampled,
+            )
 
     log_reads = prepare_reads(reads)  # [S, R, nb, A]
 
@@ -777,7 +792,8 @@ class GenotypeMultiTrace:
                 np.zeros((1, ploidy, 0), self.genotypes.dtype), np.ones(1)
             )
         genotypes = self.genotypes.reshape(n_chain * n_step, ploidy * n_base)
-        states, counts = mset.unique_counts(genotypes)
+        with _timing.stage("host.posterior_tab"):
+            states, counts = mset.unique_counts(genotypes)
         probs = counts / counts.sum()
         idx = np.flip(np.argsort(probs, kind="stable"))
         return PosteriorGenotypeDistribution(
