@@ -188,7 +188,7 @@ class DenovoMCMC:
 def _fit_denovo_batch_pallas(
     log_reads, counts, init, n_alleles_eff, break_dist, ploidy, steps,
     chains, seed, p_recomb, p_partial, p_full, temperatures=(1.0,),
-    alphas=None, burn=0, interpret=False, mesh="auto",
+    alphas=None, burn=0, interpret=False, mesh="auto", tabulate=False,
 ):
     """Run all samples x chains through the full-step pallas kernel.
 
@@ -218,10 +218,21 @@ def _fit_denovo_batch_pallas(
 
     n_samples, n_reads, n_pos, max_allele = log_reads.shape
     b = n_samples * chains
-    # pad to 4 lane-tiles PER DEVICE so every kernel instance can pack
-    # CHUNK=4 chain groups (dummy lanes ride along at zero marginal
-    # cost; with a mesh they also keep per-device blocks tile-aligned)
-    granule = 512 * n_shards
+    # pad to chunk_cap lane-tiles PER DEVICE, where chunk_cap mirrors the
+    # kernel's own VMEM-driven chunk choice (pallas_denovo_sampler): at
+    # small shapes the kernel packs CHUNK=4 chain groups per instance, so
+    # lanes pad to 512/device; at real-data shapes the prepared-reads
+    # block caps chunk at 1-2 and padding to 512 would only add dummy
+    # lanes that run the full kernel for nothing
+    if len(temperatures) > 1:
+        chunk_cap = 1  # tempered mode replicates tiles over the ladder
+    else:
+        chunk_cap = 1
+        for c in (4, 2):
+            if n_pos * max_allele * n_reads * c * 128 * 4 <= 5 * 1024 * 1024:
+                chunk_cap = c
+                break
+    granule = 128 * chunk_cap * n_shards
     b_pad = ((b + granule - 1) // granule) * granule
     lr_cl = jnp.repeat(
         jnp.transpose(jnp.asarray(log_reads, jnp.float32), (1, 2, 3, 0)),
@@ -309,6 +320,75 @@ def _fit_denovo_batch_pallas(
         # transfer in the timing summary (block_until_ready does not
         # block through the remote tunnel)
         np.asarray(llks[-1, :1])
+    kept = steps - burn
+    if tabulate and kept > 0:
+        # device-side posterior tabulation: fetch only the distinct
+        # genotype states + multiplicities per chain lane instead of the
+        # full kept trace (ops/trace_tab.py; reference tabulation
+        # semantics classes.py:307-325 moved on-device)
+        from mchap_tpu.ops.pallas_denovo import _next_pow2
+        from mchap_tpu.ops.trace_tab import (
+            decode_tabulated_states,
+            tabulate_packed_trace,
+        )
+
+        base = _next_pow2(max(max_allele, 2))
+        n_cap = min(kept, 512)
+        with _timing.stage("device.tabulate"):
+            words, counts_t, first_t, n_uniq = tabulate_packed_trace(
+                packed, ploidy=ploidy, base=base, n_cap=n_cap, burn=burn
+            )
+            n_uniq_h = np.asarray(n_uniq)[:b]
+        max_u = int(n_uniq_h.max(initial=1))
+        if max_u <= n_cap:
+            # fetch the smallest pow-2 state prefix covering every lane
+            # (pow-2 bucketing keeps the slice-program count bounded)
+            k = 1
+            while k < max_u:
+                k *= 2
+            k = min(k, words.shape[0])
+            pack_dtype = (
+                jnp.uint8
+                if float(base) ** ploidy <= 256
+                else jnp.int16
+                if float(base) ** ploidy <= 32768
+                else jnp.int32
+            )
+            with _timing.stage("device.trace_fetch"):
+                words_h = np.asarray(words[:k].astype(pack_dtype))[..., :b]
+                counts_h = np.asarray(counts_t[:k])[:, :b]
+                first_h = np.asarray(first_t[:k])[:, :b]
+                llks_h = np.asarray(llks[burn:])[:, :b]
+            with _timing.stage("device.trace_unpack"):
+                alleles = decode_tabulated_states(
+                    words_h, ploidy, base
+                )  # [k, P, NB, b]
+            st = alleles.reshape(
+                k, ploidy, n_pos, n_samples, chains
+            ).transpose(3, 4, 0, 1, 2)  # [S, C, k, P, NB]
+            cnts = counts_h.reshape(k, n_samples, chains).transpose(
+                1, 2, 0
+            )
+            firsts = first_h.reshape(k, n_samples, chains).transpose(
+                1, 2, 0
+            )
+            llks_r = llks_h.reshape(kept, n_samples, chains).transpose(
+                1, 2, 0
+            )
+            return [
+                TabulatedGenotypeTrace(
+                    st[i],
+                    cnts[i],
+                    firsts[i],
+                    llks_r[i].astype(float),
+                    pre_burned=burn,
+                    kept=kept,
+                )
+                for i in range(n_samples)
+            ]
+        # > n_cap distinct states in some lane (diffuse posterior):
+        # fall through to the full-trace fetch below
+
     # pull the base-packed trace (4x less tunnel traffic than unpacked
     # int8 alleles) and decode host-side
     from mchap_tpu.ops.pallas_denovo import unpack_genotype_trace
@@ -504,12 +584,15 @@ def _fit_denovo_core(
                 ) * np.exp(-log_uh)
             else:
                 alphas = None
+            import os as _os
+
             traces = _fit_denovo_batch_pallas(
                 np.asarray(prepare_reads(reads, dtype=jnp.float32)),
                 counts, init, n_alleles_eff, break_dist, ploidy, steps,
                 chains, seed, recombination_step_probability,
                 partial_dosage_step_probability, dosage_step_probability,
                 temperatures=temps, alphas=alphas, burn=burn,
+                tabulate=_os.environ.get("MCHAP_TABULATE", "1") != "0",
             )
             out = []
             kept = steps - burn
@@ -612,6 +695,50 @@ def fit_denovo_multi(
         for p in problems
     ]
     r_list = [max(len(p["reads"]), 1) for p in problems]
+
+    # partition the block into padded-shape BUCKETS so one worst-case
+    # locus doesn't drag every problem to its shape: a single triallelic
+    # site would force the whole block off the kernel's biallelic fast
+    # path (~A-fold more candidate scoring), and the sweep cost scales
+    # with the padded position and read counts.  Buckets: allele radix
+    # (pow 2), positions rounded to 8, reads to pow 2 — each bucket runs
+    # as its own device program with a distinct derived seed.
+    def _bucket_key(i):
+        a_b = 2
+        while a_b < a_list[i]:
+            a_b *= 2
+        r_b = 8
+        while r_b < r_list[i]:
+            r_b *= 2
+        return (a_b, (nb_list[i] + 7) // 8 * 8, r_b)
+
+    buckets = {}
+    for i in range(n_prob):
+        buckets.setdefault(_bucket_key(i), []).append(i)
+    if len(buckets) > 1:
+        out = [None] * n_prob
+        base_seed = random_seed if random_seed is not None else 0
+        for ordinal, key in enumerate(sorted(buckets)):
+            idxs = buckets[key]
+            sub = fit_denovo_multi(
+                [problems[i] for i in idxs],
+                ploidy,
+                steps=steps,
+                chains=chains,
+                alpha=alpha,
+                beta=beta,
+                fix_homozygous=fix_homozygous,
+                recombination_step_probability=recombination_step_probability,
+                partial_dosage_step_probability=partial_dosage_step_probability,
+                dosage_step_probability=dosage_step_probability,
+                temperatures=temperatures,
+                random_seed=base_seed + 7919 * ordinal,
+                burn=burn,
+            )
+            for i, t in zip(idxs, sub):
+                out[i] = t
+        return out
+
     nb_max = max(nb_list + [0])
     if nb_max == 0:
         return [
@@ -656,14 +783,7 @@ def fit_denovo_multi(
         recombination_step_probability, partial_dosage_step_probability,
         dosage_step_probability, temperatures, random_seed, burn=burn,
     )
-    out = []
-    for i, tr in enumerate(traces):
-        sliced = GenotypeMultiTrace(None, None)
-        sliced.genotypes = tr.genotypes[..., : nb_list[i]]
-        sliced.llks = tr.llks
-        sliced.pre_burned = getattr(tr, "pre_burned", 0)
-        out.append(sliced)
-    return out
+    return [tr.truncate_positions(nb_list[i]) for i, tr in enumerate(traces)]
 
 
 @dataclass
@@ -807,24 +927,128 @@ class GenotypeMultiTrace:
             new.llks = llks[None]
             yield new
 
+    def truncate_positions(self, n_pos):
+        """Trace restricted to the leading ``n_pos`` positions.
+
+        Used to strip cross-locus padding positions, which are frozen
+        (n_alleles = 1) and identical across every state, so truncation
+        never merges distinct genotypes.
+        """
+        new = type(self)(None, None)
+        new.genotypes = self.genotypes[..., :n_pos]
+        new.llks = self.llks
+        new.pre_burned = getattr(self, "pre_burned", 0)
+        return new
+
     def replicate_incongruence(self, threshold=0.6):
         """0/1/2 = none / incongruent / putative CNV; classes.py:341-376."""
-        out = 0
-        posteriors = [trace.posterior() for trace in self.split()]
-        chain_modes = [dist.mode_genotype_support() for dist in posteriors]
-        alleles = [
-            mode.alleles()
-            for mode in chain_modes
-            if mode.probabilities.sum() >= threshold
-        ]
-        mode_count = len({array.tobytes() for array in alleles})
-        if mode_count > 1:
-            out = 1
-            ploidy = len(alleles[0])
-            allele_count = len(reduce(mset.union, alleles))
-            if allele_count > ploidy:
-                out = 2
-        return out
+        return _replicate_incongruence(self, threshold)
+
+
+def _replicate_incongruence(trace, threshold):
+    """Shared MCI computation over any trace with split()/posterior()."""
+    out = 0
+    posteriors = [chain.posterior() for chain in trace.split()]
+    chain_modes = [dist.mode_genotype_support() for dist in posteriors]
+    alleles = [
+        mode.alleles()
+        for mode in chain_modes
+        if mode.probabilities.sum() >= threshold
+    ]
+    mode_count = len({array.tobytes() for array in alleles})
+    if mode_count > 1:
+        out = 1
+        ploidy = len(alleles[0])
+        allele_count = len(reduce(mset.union, alleles))
+        if allele_count > ploidy:
+            out = 2
+    return out
+
+
+class TabulatedGenotypeTrace:
+    """Device-tabulated MCMC trace: distinct states + counts per chain.
+
+    The posterior-equivalent summary of a ``GenotypeMultiTrace`` with
+    O(n_unique) instead of O(n_steps) host memory and device->host
+    traffic (ops/trace_tab.py).  Carries, per chain, the distinct
+    genotype states (canonical row order), their multiplicities over
+    the kept steps, and each state's first-occurrence step index — the
+    exact information ``posterior()`` / ``replicate_incongruence()``
+    consume (reference classes.py:307-376), with first-seen ordering
+    preserved so probability ties resolve identically to the full-trace
+    path.
+    """
+
+    def __init__(self, states, counts, first, llks, pre_burned=0, kept=None):
+        self.states = np.asarray(states)  # [chains, k, ploidy, n_pos] int8
+        self.counts = np.asarray(counts)  # [chains, k]
+        self.first = np.asarray(first)  # [chains, k] kept-step index
+        self.llks = np.asarray(llks)  # [chains, kept]
+        self.pre_burned = pre_burned
+        self.kept = self.llks.shape[1] if kept is None else kept
+
+    def burn(self, n):
+        """No-op when the burn-in was already sliced on device."""
+        if max(n - self.pre_burned, 0):
+            raise ValueError(
+                "tabulated trace cannot burn beyond its device-side "
+                f"burn-in ({self.pre_burned} steps)"
+            )
+        return self
+
+    def truncate_positions(self, n_pos):
+        """See GenotypeMultiTrace.truncate_positions."""
+        return TabulatedGenotypeTrace(
+            self.states[..., :n_pos],
+            self.counts,
+            self.first,
+            self.llks,
+            self.pre_burned,
+            self.kept,
+        )
+
+    def posterior(self):
+        n_chains, k, ploidy, n_pos = self.states.shape
+        if n_pos == 0:
+            return PosteriorGenotypeDistribution(
+                np.zeros((1, ploidy, 0), self.states.dtype), np.ones(1)
+            )
+        mask = self.counts > 0
+        flat = self.states[mask]  # [M, ploidy, n_pos]
+        cnt = self.counts[mask].astype(float)
+        chain_of = np.broadcast_to(
+            np.arange(n_chains)[:, None], (n_chains, k)
+        )[mask]
+        # global first-seen index over the chain-major flattened trace
+        # (the order mset.unique_counts sees in the full-trace path)
+        seen = chain_of.astype(np.int64) * self.kept + self.first[mask]
+        keys = mset._keys(flat.reshape(len(flat), ploidy * n_pos))
+        uniq, rep_idx, inverse = np.unique(
+            keys, return_index=True, return_inverse=True
+        )
+        totals = np.bincount(inverse, weights=cnt)
+        first_seen = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(first_seen, inverse, seen)
+        order = np.argsort(first_seen, kind="stable")
+        states_u = flat[rep_idx][order]
+        probs = totals[order] / totals.sum()
+        idx = np.flip(np.argsort(probs, kind="stable"))
+        return PosteriorGenotypeDistribution(states_u[idx], probs[idx])
+
+    def split(self):
+        for c in range(self.states.shape[0]):
+            yield TabulatedGenotypeTrace(
+                self.states[c : c + 1],
+                self.counts[c : c + 1],
+                self.first[c : c + 1],
+                self.llks[c : c + 1],
+                self.pre_burned,
+                self.kept,
+            )
+
+    def replicate_incongruence(self, threshold=0.6):
+        """0/1/2 = none / incongruent / putative CNV; classes.py:341-376."""
+        return _replicate_incongruence(self, threshold)
 
 
 def call_posterior_haplotypes(posteriors, threshold=0.01):

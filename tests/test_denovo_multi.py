@@ -44,6 +44,39 @@ def test_multi_heterogeneous_shapes_and_slicing():
     assert np.isfinite(traces[1].llks).all()
 
 
+def test_multi_buckets_by_padded_shape(monkeypatch):
+    """Heterogeneous blocks split into padded-shape buckets (one device
+    program each) so a triallelic or deep locus doesn't drag biallelic /
+    shallow loci to its shape; problem order is restored."""
+    calls = []
+    orig = ma._fit_denovo_core
+
+    def spy(reads, counts, n_alleles_mat, *args, **kwargs):
+        calls.append(reads.shape)
+        return orig(reads, counts, n_alleles_mat, *args, **kwargs)
+
+    monkeypatch.setattr(ma, "_fit_denovo_core", spy)
+    small = _problem(np.array([[0, 0], [0, 1], [1, 1], [0, 0]], np.int8),
+                     [2, 2], 6, 1)
+    big = _problem(np.array([[0, 1, 2], [0, 0, 0], [2, 1, 0], [0, 1, 2]],
+                            np.int8), [3, 2, 3], 30, 2)
+    small2 = _problem(np.array([[0, 1], [0, 1], [1, 0], [0, 0]], np.int8),
+                      [2, 2], 7, 3)
+    traces = fit_denovo_multi([small, big, small2], ploidy=4, steps=30,
+                              chains=2, random_seed=3)
+    # two buckets: (A=2, nb<=8, R=8) x2 problems and (A=4, nb<=8, R=32) x1
+    assert len(calls) == 2
+    shapes = sorted(calls, key=lambda s: s[3])
+    assert shapes[0][0] == 2 and shapes[0][1] == 8 and shapes[0][3] == 2
+    assert shapes[1][0] == 1 and shapes[1][1] == 32 and shapes[1][3] == 3
+    # order restored, position counts sliced per problem
+    assert traces[0].genotypes.shape[-1] == 2
+    assert traces[1].genotypes.shape[-1] == 3
+    assert traces[2].genotypes.shape[-1] == 2
+    assert traces[1].genotypes.max() <= 2
+    assert max(traces[0].genotypes.max(), traces[2].genotypes.max()) <= 1
+
+
 def test_multi_matches_batch_posterior_mode():
     """On identical high-depth problems the multi path's posterior mode
     agrees with fit_denovo_batch (same target distribution)."""
