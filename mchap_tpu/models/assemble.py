@@ -216,7 +216,69 @@ def _fit_denovo_batch_pallas(
         mesh = lane_mesh()
     n_shards = 1 if mesh is None else mesh.devices.size
 
-    n_samples, n_reads, n_pos, max_allele = log_reads.shape
+    log_reads = np.asarray(log_reads)
+    init = np.asarray(init, np.int32)
+    n_alleles_eff = np.asarray(n_alleles_eff, np.int32)
+    counts = np.asarray(counts)
+    break_dist = np.asarray(break_dist)
+    n_samples, n_reads, n_pos_full, max_allele = log_reads.shape
+    # the Bernoulli breakpoint rate targets the reference's expected
+    # break count over the ORIGINAL position axis (mcmc.py:429-452)
+    mean_breaks = (break_dist * np.arange(n_pos_full)[None, :]).sum(-1)
+
+    # --- het-position compaction -------------------------------------
+    # Homozygote-fixed and padding positions (n_alleles <= 1) are
+    # provable no-ops inside the kernel, yet at real-data shapes they
+    # dominate the position axis (deep loci fix most SNVs per sample,
+    # reference mcmc.py:168-199) and the sweep cost is linear in NB.
+    # Compact each sample's het positions to the front (per-sample
+    # permutation, stable so relative order is kept), run the kernel on
+    # the max-het-width prefix only, and restore the fixed columns on
+    # the way out.  Fixed columns add a genotype-independent constant
+    # to every rh row, so dropping them shifts each lane's llk by
+    # sum_r c_r * sum_{j fixed} lr[r, j, fixed_allele] — added back to
+    # the returned llks below.  Row comparison order is unchanged:
+    # fixed columns are identical across rows, so lexicographic order
+    # is decided by het columns in original relative order either way.
+    het = n_alleles_eff > 1  # [S, NB]
+    nb_eff = int(het.sum(axis=1).max(initial=1))
+    nb_eff = min(n_pos_full, (max(nb_eff, 1) + 7) // 8 * 8)
+    restore = None
+    fix_llk = np.zeros(n_samples)
+    if nb_eff < n_pos_full:
+        order = np.argsort(~het, axis=1, kind="stable")  # het first
+        sel = order[:, :nb_eff]  # [S, nb_eff]
+        fixed_allele_full = init[:, 0, 0, :]  # fixed cols: all rows equal
+        lr_fix = np.take_along_axis(
+            log_reads, fixed_allele_full[:, None, :, None].astype(np.int64),
+            axis=3,
+        )[..., 0]  # [S, R, NB]
+        # the llk constant covers only positions OUTSIDE the kernel:
+        # a sample with fewer het sites than nb_eff carries some fixed
+        # positions in-state (frozen no-ops) whose contribution the
+        # kernel already accounts
+        in_kernel = np.zeros((n_samples, n_pos_full), bool)
+        np.put_along_axis(in_kernel, sel, True, axis=1)
+        fix_llk = (
+            np.where(in_kernel[:, None, :], 0.0, lr_fix).sum(axis=2) * counts
+        ).sum(axis=1)
+        log_reads = np.take_along_axis(
+            log_reads, sel[:, None, :, None], axis=2
+        )
+        init = np.take_along_axis(init, sel[:, None, None, :], axis=3)
+        n_alleles_eff = np.take_along_axis(n_alleles_eff, sel, axis=1)
+        restore = (sel, fixed_allele_full)
+    n_pos = log_reads.shape[2]
+
+    def _restore_cols(arr, i):
+        """Compact [..., nb_eff] positions back to [..., n_pos_full]."""
+        if restore is None:
+            return arr
+        sel_r, fa_full = restore
+        inv = np.full(n_pos_full, -1, np.int64)
+        inv[sel_r[i]] = np.arange(n_pos)
+        gathered = arr[..., np.maximum(inv, 0)]
+        return np.where(inv >= 0, gathered, fa_full[i]).astype(arr.dtype)
     b = n_samples * chains
     # pad to chunk_cap lane-tiles PER DEVICE, where chunk_cap mirrors the
     # kernel's own VMEM-driven chunk choice (pallas_denovo_sampler): at
@@ -250,7 +312,7 @@ def _fit_denovo_batch_pallas(
     )  # [NB, S*chains]
     # per-lane Bernoulli breakpoint rate matching the reference's
     # expected break count E[n_breaks] (discretized Beta; mcmc.py:429-452)
-    mean_breaks = (np.asarray(break_dist) * np.arange(n_pos)[None, :]).sum(-1)
+    # spread over the (possibly compacted) kernel position axis
     pbreak = np.repeat(
         (mean_breaks / max(n_pos - 1, 1)).astype(np.float32), chains
     )[None, :]  # [1, S*chains]
@@ -377,10 +439,10 @@ def _fit_denovo_batch_pallas(
             )
             return [
                 TabulatedGenotypeTrace(
-                    st[i],
+                    _restore_cols(st[i], i),
                     cnts[i],
                     firsts[i],
-                    llks_r[i].astype(float),
+                    (llks_r[i] + fix_llk[i]).astype(float),
                     pre_burned=burn,
                     kept=kept,
                 )
@@ -407,7 +469,10 @@ def _fit_denovo_batch_pallas(
     llks = llks.reshape(kept, n_samples, chains).transpose(1, 2, 0)
     out = []
     for i in range(n_samples):
-        t = GenotypeMultiTrace(genotypes[i], llks[i].astype(float))
+        t = GenotypeMultiTrace(
+            _restore_cols(genotypes[i], i),
+            (llks[i] + fix_llk[i]).astype(float),
+        )
         t.pre_burned = burn
         out.append(t)
     return out
@@ -553,11 +618,14 @@ def _fit_denovo_core(
     max_allele = reads.shape[-1]
     n_temps = len(temps)
     # the wrapper's real VMEM constraint at its minimum chunk width:
-    # the prepared-reads block dominates; genotype/rh scratch ride along
+    # the prepared-reads block dominates; genotype/rh scratch ride
+    # along.  The wrapper compacts het positions (fixed/padding sites
+    # drop out of the kernel), so size against the compacted width
     chunk_min = max(1, n_temps)
+    nb_gate = min(n_pos, (max(int(n_het.max(initial=0)), 1) + 7) // 8 * 8)
     vmem_est = 128 * chunk_min * 4 * (
-        n_reads_b * n_pos * max_allele  # lr block
-        + 2 * ploidy * (n_pos + n_reads_b)  # genotype + rh scratch
+        n_reads_b * nb_gate * max_allele  # lr block
+        + 2 * ploidy * (nb_gate + n_reads_b)  # genotype + rh scratch
         + 2 * n_reads_b  # counts
         + 8  # per-lane scalars
     )

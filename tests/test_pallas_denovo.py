@@ -234,3 +234,100 @@ def test_model_layer_burn_slices_on_device():
         got = tr_pre.burn(burn)  # no-op: already sliced on device
         np.testing.assert_array_equal(got.genotypes, want.genotypes)
         np.testing.assert_array_equal(got.llks, want.llks)
+
+
+def test_model_layer_het_compaction():
+    """With most positions homozygote-fixed the wrapper compacts het
+    positions into a narrow kernel and restores fixed columns + the
+    fixed-column llk constant on the way out: shapes are full-width,
+    fixed columns stay frozen at their fixed allele, het columns carry
+    valid alleles, and llks equal a from-scratch full-width recompute."""
+    P, NB, A = 4, 12, 2
+    rng = np.random.default_rng(1)
+    n_samples, chains, steps = 3, 2, 5
+    truth = rng.integers(0, A, size=(n_samples, P, NB)).astype(np.int8)
+    reads = np.stack(
+        [
+            simulate_reads(t, n_alleles=A, n_reads=8, errors=False, seed=i)
+            for i, t in enumerate(truth)
+        ]
+    )
+    counts = np.ones((n_samples, reads.shape[1]))
+    log_reads = np.asarray(prepare_reads(reads, dtype=jnp.float32))
+    init = rng.integers(0, A, size=(n_samples, chains, P, NB)).astype(np.int32)
+    # per-sample fixed pattern: only 3-4 het positions survive, so the
+    # kernel width compacts from 12 to 8
+    nall = np.full((n_samples, NB), 1, np.int32)
+    het_sets = [(0, 5, 11), (2, 3, 7, 10), (1, 6, 9)]
+    fixed_alleles = rng.integers(0, A, size=(n_samples, NB)).astype(np.int32)
+    for i, hs in enumerate(het_sets):
+        nall[i, list(hs)] = A
+        keep = np.zeros(NB, bool)
+        keep[list(hs)] = True
+        # fixed positions must enter with one consistent allele per lane
+        init[i, :, :, ~keep] = fixed_alleles[i, ~keep][:, None, None]
+    break_dist = np.zeros((n_samples, NB))
+    break_dist[:, 1] = 1.0
+    traces = _fit_denovo_batch_pallas(
+        log_reads, counts, init, nall, break_dist, P, steps, chains,
+        seed=7, p_recomb=0.5, p_partial=0.5, p_full=1.0, interpret=True,
+        mesh=None,  # interpret+shard_map composition is covered elsewhere
+    )
+    assert len(traces) == n_samples
+    for i, tr in enumerate(traces):
+        assert tr.genotypes.shape == (chains, steps, P, NB)
+        hs = np.zeros(NB, bool)
+        hs[list(het_sets[i])] = True
+        # fixed columns frozen at their fixed allele through every step
+        want_fixed = fixed_alleles[i, ~hs]
+        np.testing.assert_array_equal(
+            tr.genotypes[..., ~hs],
+            np.broadcast_to(want_fixed, tr.genotypes[..., ~hs].shape),
+        )
+        assert tr.genotypes.min() >= 0 and tr.genotypes.max() < A
+        # llk includes the fixed-column constant: full-width recompute
+        want = _llk_numpy(log_reads[i], tr.genotypes[0, -1])
+        assert abs(tr.llks[0, -1] - want) < 1e-2
+
+
+def test_model_layer_compaction_matches_uncompacted_posterior():
+    """A fixed pattern shared by every sample: the compacted run must
+    visit the same het-column states as a manually pre-compacted run
+    (same kernel width, same seeds), proving compaction only permutes
+    the position axis."""
+    P, NB, A = 2, 10, 2
+    rng = np.random.default_rng(3)
+    n_samples, chains, steps = 2, 2, 4
+    het = np.zeros(NB, bool)
+    het[[1, 4, 6, 8, 2, 9, 0, 3]] = True  # 8 het -> nb_eff == 8 < 10
+    truth = rng.integers(0, A, size=(n_samples, P, NB)).astype(np.int8)
+    reads = np.stack(
+        [
+            simulate_reads(t, n_alleles=A, n_reads=6, errors=False, seed=i)
+            for i, t in enumerate(truth)
+        ]
+    )
+    counts = np.ones((n_samples, reads.shape[1]))
+    log_reads = np.asarray(prepare_reads(reads, dtype=jnp.float32))
+    init = rng.integers(0, A, size=(n_samples, chains, P, NB)).astype(np.int32)
+    fixed_allele = rng.integers(0, A, size=(n_samples, NB)).astype(np.int32)
+    nall = np.where(het, A, 1).astype(np.int32)[None].repeat(n_samples, 0)
+    for i in range(n_samples):
+        init[i, :, :, ~het] = fixed_allele[i, ~het][:, None, None]
+    break_dist = np.zeros((n_samples, NB))
+    break_dist[:, 1] = 1.0
+    kw = dict(seed=11, p_recomb=0.5, p_partial=0.5, p_full=1.0,
+              interpret=True, mesh=None)
+    auto = _fit_denovo_batch_pallas(
+        log_reads, counts, init, nall, break_dist, P, steps, chains, **kw
+    )
+    # manual pre-compaction to the same 8 het columns (original order)
+    sel = np.flatnonzero(het)
+    manual = _fit_denovo_batch_pallas(
+        log_reads[:, :, sel], counts, init[..., sel],
+        nall[:, sel], break_dist[:, :len(sel)], P, steps, chains, **kw
+    )
+    for i in range(n_samples):
+        np.testing.assert_array_equal(
+            auto[i].genotypes[..., het], manual[i].genotypes
+        )
