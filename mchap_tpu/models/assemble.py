@@ -767,18 +767,24 @@ def fit_denovo_multi(
     # partition the block into padded-shape BUCKETS so one worst-case
     # locus doesn't drag every problem to its shape: a single triallelic
     # site would force the whole block off the kernel's biallelic fast
-    # path (~A-fold more candidate scoring), and the sweep cost scales
-    # with the padded position and read counts.  Buckets: allele radix
-    # (pow 2), positions rounded to 8, reads to pow 2 — each bucket runs
-    # as its own device program with a distinct derived seed.
+    # path (~A-fold more candidate scoring).  Buckets are deliberately
+    # COARSE — allele radix (pow 2) and a two-tier read class (<= 64 /
+    # pow-2 above) — because every distinct bucket shape costs fresh
+    # device-program compiles (tens of seconds each through the remote
+    # tunnel; a finer NB/R key once split a 20-locus block into 18
+    # buckets and compile time dwarfed the sampling).  Position width is
+    # NOT part of the key: the pallas wrapper compacts het positions to
+    # the batch's max het width anyway, so padding NB to the bucket max
+    # is stripped before the kernel.  Each bucket runs as its own device
+    # program with a distinct derived seed.
     def _bucket_key(i):
         a_b = 2
         while a_b < a_list[i]:
             a_b *= 2
-        r_b = 8
+        r_b = 64
         while r_b < r_list[i]:
             r_b *= 2
-        return (a_b, (nb_list[i] + 7) // 8 * 8, r_b)
+        return (a_b, r_b)
 
     buckets = {}
     for i in range(n_prob):
@@ -808,6 +814,11 @@ def fit_denovo_multi(
         return out
 
     nb_max = max(nb_list + [0])
+    if nb_max:
+        # round the block's position width to a multiple of 8: stable
+        # compiled shapes across blocks (compaction strips the padding
+        # before the kernel; padded positions are frozen no-ops)
+        nb_max = (nb_max + 7) // 8 * 8
     if nb_max == 0:
         return [
             GenotypeMultiTrace(
@@ -817,10 +828,11 @@ def fit_denovo_multi(
             for _ in range(n_prob)
         ]
     a_max = max(a_list)
-    # power-of-two read bucket: stable compiled shapes across blocks and
+    # power-of-two read bucket with a floor of 64: stable compiled
+    # shapes across blocks (matching the bucket key's read classes) and
     # aligned sublane tiles for the pallas kernel (padding reads are
     # all-gap with zero counts)
-    r_max = 8
+    r_max = 64
     while r_max < max(r_list):
         r_max *= 2
 

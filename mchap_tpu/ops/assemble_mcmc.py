@@ -620,7 +620,7 @@ def denovo_sampler(
 
 
 def snp_posteriors(reads, n_alleles_arr, ploidy, use_prior=False, inbreeding=0.0,
-                   read_counts=None):
+                   read_counts=None, dtype=None):
     """Exact genotype posterior at every SNV position, batched.
 
     reads: f[R, nb, A] probabilistic (nan gaps); returns
@@ -629,6 +629,13 @@ def snp_posteriors(reads, n_alleles_arr, ploidy, use_prior=False, inbreeding=0.0
     alleles get probability 0.  Reference snp_posterior
     (snpcalling.py:14-70) evaluated for all positions at once via a
     dosage matmul.
+
+    ``dtype`` sets the precision of the heavy per-read tensor (the
+    [R, nb, G] dosage product and its log); the final [nb, G]
+    prior/normalisation always runs in f64.  Default f64 matches the
+    reference; the homozygosity screen passes f32 on TPU, where f64 is
+    software-emulated and the R-major tensor dominates (SURVEY §7.3
+    numeric-parity note: f64 only on the small summary reductions).
     """
     import numpy as np
 
@@ -636,6 +643,8 @@ def snp_posteriors(reads, n_alleles_arr, ploidy, use_prior=False, inbreeding=0.0
     from mchap_tpu.ops.exact import genotype_dosage_table
     from mchap_tpu.ops.priors import log_genotype_prior
 
+    if dtype is None:
+        dtype = jnp.float64
     n_reads, nb, max_allele = reads.shape
     if n_reads == 0:
         reads = jnp.full((1, nb, max_allele), jnp.nan)
@@ -643,14 +652,16 @@ def snp_posteriors(reads, n_alleles_arr, ploidy, use_prior=False, inbreeding=0.0
         read_counts = None
     table = jnp.asarray(enumerate_genotypes(max_allele, ploidy))  # [G, p]
     dosage = jnp.asarray(
-        genotype_dosage_table(max_allele, ploidy), jnp.float64
+        genotype_dosage_table(max_allele, ploidy), dtype
     )  # [G, A]
+    reads = jnp.asarray(reads, dtype)
     m = jnp.where(jnp.isnan(reads), 1.0, reads)  # gap -> multiplicative identity
     probs_rjg = jnp.einsum("rja,ga->rjg", m, dosage) / ploidy  # [R, nb, G]
-    read_log = jnp.log(jnp.maximum(probs_rjg, 1e-300))
+    tiny = 1e-300 if dtype == jnp.float64 else 1e-30
+    read_log = jnp.log(jnp.maximum(probs_rjg, tiny))
     if read_counts is not None:
         read_log = read_log * jnp.asarray(read_counts, read_log.dtype)[:, None, None]
-    llks = jnp.sum(read_log, axis=0)  # [nb, G]
+    llks = jnp.sum(read_log, axis=0).astype(jnp.float64)  # [nb, G]
     if use_prior:
         lpriors = jax.vmap(
             lambda n: log_genotype_prior(table, n, inbreeding=inbreeding)
@@ -713,8 +724,13 @@ def homozygosity_probabilities_batch(reads_b, n_alleles_mat, ploidy,
         read_counts_b = np.ones((n_samples, 1))
 
     def one(reads, n_alleles_arr, inbreeding, read_counts):
+        # f32 on the heavy per-read tensor: this is a >= 0.999 screening
+        # threshold, not a reported statistic, and emulated f64 on TPU
+        # makes the [S, R, nb, G] product the most expensive program in
+        # the whole batched pipeline (the normalisation stays f64)
         _, probs = snp_posteriors(
-            reads, n_alleles_arr, ploidy, use_prior, inbreeding, read_counts
+            reads, n_alleles_arr, ploidy, use_prior, inbreeding, read_counts,
+            dtype=jnp.float32,
         )
         return probs  # [nb, G]
 

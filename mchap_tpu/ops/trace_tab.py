@@ -14,14 +14,29 @@ front so the host fetches ``O(n_unique)`` words instead of
 ``O(n_steps)``.
 
 Everything is plain XLA (three ``lax.sort`` calls — no scatters, so it
-maps to the TPU sort unit and vectorises over lanes); the same program
-runs on CPU for testing.
+maps to the TPU sort unit and vectorises over lanes).  Sort keys are
+BIT-PACKED: a variadic sort with one operand per SNV position compiles
+a comparator whose size grows with the operand count, and at real-data
+widths (20+ positions) the TPU backend's compile time for such sorts
+explodes (observed: minutes-to-unbounded at nb=23 vs seconds at nb=3).
+Packing positions big-endian into ~30-bit words preserves the
+lexicographic order exactly while keeping every sort at <= ~6 operands
+regardless of locus width.  The same program runs on CPU for testing.
 """
 
 import functools
 
 import jax
 import jax.numpy as jnp
+
+
+def _log2(base):
+    """Exact log2 of a power-of-two radix."""
+    b = 0
+    while (1 << b) < base:
+        b += 1
+    assert (1 << b) == base, "packing radix must be a power of two"
+    return b
 
 
 @functools.partial(
@@ -62,38 +77,74 @@ def tabulate_packed_trace(packed, *, ploidy, base, n_cap, burn=0):
     packed = packed[burn:].astype(jnp.int32)
     t, nb, lanes = packed.shape
     k_out = min(n_cap, t)
+    bpos = _log2(base)  # bits per allele digit
 
     # 1. canonical haplotype-row sort per step: ascending lexicographic
     #    with position 0 the most significant key (matching the host
-    #    trace canonicalisation in models/assemble.py)
+    #    trace canonicalisation in models/assemble.py).  Rows are packed
+    #    into big-endian multi-position key words so the sort carries
+    #    O(nb*bpos/30) operands instead of nb.
     g = jnp.stack(
         [(packed // (base ** h)) % base for h in range(ploidy)], axis=1
     )  # [T, P, NB, L]
-    row_sorted = jax.lax.sort(
-        tuple(g[:, :, j, :] for j in range(nb)), dimension=1, num_keys=nb
-    )
-    words = [
-        sum(row_sorted[j][:, h, :] * (base ** h) for h in range(ploidy))
-        for j in range(nb)
-    ]  # nb arrays of i32[T, L]
+    pp_row = max(1, 30 // bpos)  # positions per row key word
+    n_rw = -(-nb // pp_row)
+    row_words = []
+    for w in range(n_rw):
+        j0 = w * pp_row
+        width = min(pp_row, nb - j0)
+        acc = jnp.zeros((t, ploidy, lanes), jnp.int32)
+        for i in range(width):
+            acc = (acc << bpos) | g[:, :, j0 + i, :]
+        row_words.append(acc)
+    rs = jax.lax.sort(tuple(row_words), dimension=1, num_keys=n_rw)
+    if not isinstance(rs, (tuple, list)):
+        rs = (rs,)
+
+    # per-position canonical state words v_j = sum_h allele_hj * base^h,
+    # decoded from the sorted row words (elementwise shifts)
+    mask = base - 1
+    pos_words = []
+    for j in range(nb):
+        w, i = divmod(j, pp_row)
+        width = min(pp_row, nb - w * pp_row)
+        shift = bpos * (width - 1 - i)
+        digits = (rs[w] >> shift) & mask  # [T, P, L]
+        vj = jnp.zeros((t, lanes), jnp.int32)
+        for h in range(ploidy):
+            vj = vj + digits[:, h, :] * (base ** h)
+        pos_words.append(vj)  # [T, L]
 
     # 2. lexsort the kept steps per lane, dragging the original step
     #    index along; the sort is stable, so the head of every run of
-    #    equal states carries that state's first-occurrence index
+    #    equal states carries that state's first-occurrence index.
+    #    Position words pack big-endian into ~30-bit key words, which
+    #    preserves the lexicographic order exactly.
+    bstate = bpos * ploidy  # bits per per-position state word
+    pp = max(1, 30 // bstate)
+    n_kw = -(-nb // pp)
+    key_words = []
+    for w in range(n_kw):
+        j0 = w * pp
+        width = min(pp, nb - j0)
+        acc = jnp.zeros((t, lanes), jnp.int32)
+        for i in range(width):
+            acc = (acc << bstate) | pos_words[j0 + i]
+        key_words.append(acc)
     step_idx = jnp.broadcast_to(
         jnp.arange(t, dtype=jnp.int32)[:, None], (t, lanes)
     )
     sorted_ops = jax.lax.sort(
-        tuple(words) + (step_idx,), dimension=0, num_keys=nb
+        tuple(key_words) + (step_idx,), dimension=0, num_keys=n_kw
     )
-    words_s = jnp.stack(sorted_ops[:nb], axis=1)  # [T, NB, L]
-    idx_s = sorted_ops[nb]
+    kw_s = jnp.stack(sorted_ops[:n_kw], axis=1)  # [T, n_kw, L]
+    idx_s = sorted_ops[n_kw]
 
     # 3. run-length encode
     head = jnp.concatenate(
         [
             jnp.ones((1, lanes), bool),
-            jnp.any(words_s[1:] != words_s[:-1], axis=1),
+            jnp.any(kw_s[1:] != kw_s[:-1], axis=1),
         ],
         axis=0,
     )  # [T, L]
@@ -104,18 +155,28 @@ def tabulate_packed_trace(packed, *, ploidy, base, n_cap, burn=0):
     #    sort: each head keys on its segment id, non-heads share key T
     headkey = jnp.where(head, seg, t)
     comp = jax.lax.sort(
-        (headkey,) + tuple(sorted_ops[:nb]) + (idx_s, step_idx),
+        (headkey,) + tuple(sorted_ops[:n_kw]) + (idx_s, step_idx),
         dimension=0,
         num_keys=1,
     )
-    words_c = jnp.stack(comp[1 : 1 + nb], axis=1)[:k_out]  # [k, NB, L]
-    first = comp[1 + nb][:k_out]
-    start = comp[2 + nb]  # run-start positions (rows < n_unique)
+    kw_c = jnp.stack(comp[1 : 1 + n_kw], axis=1)[:k_out]  # [k, n_kw, L]
+    first = comp[1 + n_kw][:k_out]
+    start = comp[2 + n_kw]  # run-start positions (rows < n_unique)
     arange_t = jnp.arange(t, dtype=jnp.int32)[:, None]
     nxt = jnp.where(
         arange_t + 1 < n_unique[None, :], jnp.roll(start, -1, axis=0), t
     )
     counts = jnp.where(arange_t < n_unique[None, :], nxt - start, 0)[:k_out]
+
+    # unpack the compacted key words back to per-position state words
+    state_mask = (1 << bstate) - 1
+    words_list = []
+    for j in range(nb):
+        w, i = divmod(j, pp)
+        width = min(pp, nb - w * pp)
+        shift = bstate * (width - 1 - i)
+        words_list.append((kw_c[:, w, :] >> shift) & state_mask)
+    words_c = jnp.stack(words_list, axis=1)  # [k, NB, L]
     return words_c, counts, first, n_unique
 
 

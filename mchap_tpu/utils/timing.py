@@ -57,7 +57,11 @@ class PipelineTimers:
             self.progress_every = 0
         timing_flag = os.environ.get("MCHAP_TIMING", "") or "0"
         self.timing = timing_flag not in ("0", "", "false", "False")
-        self.enabled = self.timing or self.progress_every > 0
+        verbose_flag = os.environ.get("MCHAP_TIMING_VERBOSE", "") or "0"
+        self.verbose = verbose_flag not in ("0", "", "false", "False")
+        self.enabled = (
+            self.timing or self.verbose or self.progress_every > 0
+        )
         self.stages = {}
         self.loci = 0
         self.sample_calls = 0
@@ -77,12 +81,20 @@ class PipelineTimers:
             return
         self._start_clock()
         t = time.perf_counter()
+        if self.verbose:
+            # MCHAP_TIMING_VERBOSE=1: eager stage enter/exit lines, for
+            # localising a stall (e.g. a pathological remote compile)
+            # without waiting for the end-of-run summary
+            sys.stderr.write(f"[mchap-tpu] >> {name}\n")
+            sys.stderr.flush()
         try:
             yield
         finally:
-            self.stages[name] = (
-                self.stages.get(name, 0.0) + time.perf_counter() - t
-            )
+            dt = time.perf_counter() - t
+            self.stages[name] = self.stages.get(name, 0.0) + dt
+            if self.verbose:
+                sys.stderr.write(f"[mchap-tpu] << {name} {dt:.2f}s\n")
+                sys.stderr.flush()
 
     def count_sampler_steps(self, n):
         """Count device compound MCMC steps (problems x chains x steps)."""

@@ -42,7 +42,18 @@ def _random_trace(rng, steps, ploidy, nb, lanes, n_alleles, n_states=5):
 
 @pytest.mark.parametrize(
     "ploidy,nb,n_alleles,steps,lanes",
-    [(2, 3, 2, 17, 4), (4, 5, 3, 40, 8), (4, 1, 4, 12, 2), (6, 2, 2, 25, 4)],
+    [
+        (2, 3, 2, 17, 4),
+        (4, 5, 3, 40, 8),
+        (4, 1, 4, 12, 2),
+        (6, 2, 2, 25, 4),
+        # real-data widths: multi-word bit-packed sort keys (the
+        # one-operand-per-position sorts this replaced stall the TPU
+        # compiler at these widths)
+        (4, 23, 2, 30, 4),
+        (4, 17, 4, 30, 4),
+        (2, 33, 4, 20, 2),
+    ],
 )
 def test_tabulate_matches_numpy_oracle(ploidy, nb, n_alleles, steps, lanes):
     rng = np.random.default_rng(ploidy * 100 + nb)
