@@ -9,23 +9,37 @@ Workloads (matching shapes in ``mchap_tpu/native/bench_oracle.cpp``):
   lane axis (ops/pallas_denovo.py).
 * **calling** Gibbs over a 16-haplotype panel, same reads bucket
   (ops/pallas_calling.py).
+* **pedigree** joint Gibbs over a 22-sample bi-parental pedigree
+  (ops/pedigree_mcmc.py), batched over loci.
 
 Baseline: the reference's own inner loops (mutation/structural sweeps
 with the arraymap llk cache, cached Gibbs slot scoring —
-mchap/assemble/mcmc.py:268-426, mchap/calling/mcmc.py:232-327)
-re-implemented in single-thread C++ -O3 (the same performance class as
-the reference's numba-compiled output; numba is unavailable in this
-image) and scaled to the 64-core deployment named in BASELINE.md.
-This makes ``vs_baseline`` a true cross-implementation ratio, not a
-same-program backend ratio.  Note the C++ oracle *includes* the
-reference's likelihood caches (hit rates are printed), which the
-reference enables by default at these shapes.
+mchap/assemble/mcmc.py:268-426, mchap/calling/mcmc.py:232-327,
+mchap/pedigree/mcmc.py:658-814) re-implemented in single-thread C++
+-O3 (the same performance class as the reference's numba-compiled
+output; numba is unavailable in this image) and scaled to the 64-core
+deployment named in BASELINE.md.  This makes ``vs_baseline`` a true
+cross-implementation ratio, not a same-program backend ratio.  Note
+the C++ oracle *includes* the reference's likelihood caches (hit
+rates are printed), which the reference enables by default at these
+shapes.
 
 Also reports a VPU roofline estimate: these samplers are elementwise/
 gather bound (no matmuls at sampling time), so the relevant peak is the
 VPU vector unit (~3.7e12 f32 FLOP/s on v5e: 8 sublanes x 128 lanes x
 4 ALUs x ~940 MHz), not the MXU.  FLOP counts per compound step are
 analytic estimates documented inline.
+
+Architecture (un-hangable by construction): the parent process NEVER
+touches the TPU (the single-client axon grant means a hung TPU call
+blocks everything).  Each device workload runs in its own subprocess
+(``python bench.py --workload NAME``) under a hard timeout; a hang or
+crash in one workload loses that number only.  Results stream to
+stderr as they land and to ``.build/bench_partial.json``; the final
+JSON line always prints.  ``MCHAP_BENCH_PEDIGREE=0`` skips the
+pedigree workload; ``MCHAP_BENCH_BUDGET`` (seconds, default 1500)
+bounds total wall-clock — remaining workloads are skipped, never cut
+mid-flight, when the budget runs out.
 
 Prints ONE json line with the flagship metric; secondary metrics ride
 in "extra".
@@ -37,8 +51,6 @@ import subprocess
 import sys
 import time
 
-import numpy as np
-
 PLOIDY = 4
 N_READS = 64
 N_POS = 16
@@ -49,6 +61,8 @@ CALLING_STEPS = 500
 DENOVO_STEPS = 200
 CALLING_LANES = 65536
 DENOVO_LANES = 16384
+PEDIGREE_LOCI = 8
+PEDIGREE_STEPS = 50
 
 V5E_VPU_FLOPS = 3.7e12  # f32 vector peak, v5e (8 sublanes*128 lanes*4*940MHz)
 
@@ -67,32 +81,20 @@ CALLING_FLOPS_PER_STEP = 1.2e4
 def _force(x):
     """Force completion; block_until_ready does not block through the
     remote-TPU tunnel, np.asarray on a small output does."""
+    import numpy as np
+
     return np.asarray(x)
 
 
-def oracle_rates():
-    """Build + run the single-core C++ oracle; returns its JSON dict."""
-    here = os.path.dirname(os.path.abspath(__file__))
-    src = os.path.join(here, "mchap_tpu", "native", "bench_oracle.cpp")
-    binary = os.path.join(here, ".build", "bench_oracle")
-    try:
-        if not os.path.exists(binary) or os.path.getmtime(binary) < os.path.getmtime(src):
-            os.makedirs(os.path.dirname(binary), exist_ok=True)
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-std=c++17", "-o", binary, src],
-                check=True, capture_output=True, timeout=300,
-            )
-        out = subprocess.run(
-            [binary, "2000"], capture_output=True, text=True, timeout=600
-        )
-        return json.loads(out.stdout.strip())
-    except Exception:
-        return None
+# ---------------------------------------------------------------------------
+# workloads (run inside per-workload child processes)
+# ---------------------------------------------------------------------------
 
 
 def measure_pallas_calling(n_chains, steps, repeats=2):
     """VMEM-resident pallas calling kernel (TPU only)."""
     import jax.numpy as jnp
+    import numpy as np
 
     from mchap_tpu.ops.pallas_calling import pallas_calling_sampler
 
@@ -117,6 +119,7 @@ def measure_pallas_calling(n_chains, steps, repeats=2):
 def measure_pallas_denovo(n_chains, steps, repeats=2):
     """VMEM-resident full-step pallas de novo kernel (TPU only)."""
     import jax.numpy as jnp
+    import numpy as np
 
     from mchap_tpu.ops.likelihood import prepare_reads
     from mchap_tpu.ops.pallas_denovo import pallas_denovo_sampler
@@ -163,6 +166,8 @@ def measure_pedigree(n_loci, steps, repeats=2):
     step = a full Gibbs sweep over every sample's allele slots plus the
     parental-pair swap (reference pedigree/mcmc.py:658-814 semantics).
     """
+    import numpy as np
+
     from mchap_tpu.models.pedigree import fit_pedigree_multi
 
     rng = np.random.default_rng(0)
@@ -221,6 +226,7 @@ def measure_xla_calling(b, steps, repeats=2):
     """XLA formulation (fallback when pallas is unavailable)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from mchap_tpu.ops.calling_mcmc import calling_sampler
     from mchap_tpu.parallel.mesh import make_problem_batch
@@ -252,55 +258,149 @@ def measure_xla_calling(b, steps, repeats=2):
     return b * 2 * steps / best
 
 
-def main():
-    import jax
+WORKLOADS = {
+    "denovo": lambda: measure_pallas_denovo(DENOVO_LANES, DENOVO_STEPS),
+    "calling": lambda: measure_pallas_calling(CALLING_LANES, CALLING_STEPS),
+    "pedigree": lambda: measure_pedigree(PEDIGREE_LOCI, PEDIGREE_STEPS),
+    "xla_calling": lambda: measure_xla_calling(32, 50, repeats=1),
+}
 
-    on_tpu = jax.default_backend() != "cpu"
-    results = {}
-    if on_tpu:
-        try:
-            results["denovo"] = measure_pallas_denovo(DENOVO_LANES, DENOVO_STEPS)
-        except Exception as e:  # pragma: no cover
-            results["denovo_error"] = repr(e)
-        try:
-            results["calling"] = measure_pallas_calling(
-                CALLING_LANES, CALLING_STEPS
+# per-workload hard timeouts (seconds); remote compiles run 1-3 min per
+# big program, so allow compile + 2 timed repeats with headroom
+CHILD_TIMEOUT = {
+    "denovo": 600,
+    "calling": 480,
+    "pedigree": 600,
+    "xla_calling": 600,
+}
+
+
+def run_child(name):
+    """Child-process entry: run one workload, print one JSON line."""
+    t0 = time.perf_counter()
+    rate = WORKLOADS[name]()
+    print(json.dumps({"rate": rate, "seconds": round(time.perf_counter() - t0, 1)}))
+
+
+# ---------------------------------------------------------------------------
+# parent orchestrator (never touches the TPU)
+# ---------------------------------------------------------------------------
+
+
+def oracle_rates(here):
+    """Build + run the single-core C++ oracle; returns its JSON dict."""
+    src = os.path.join(here, "mchap_tpu", "native", "bench_oracle.cpp")
+    binary = os.path.join(here, ".build", "bench_oracle")
+    try:
+        if not os.path.exists(binary) or os.path.getmtime(binary) < os.path.getmtime(src):
+            os.makedirs(os.path.dirname(binary), exist_ok=True)
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-std=c++17", "-o", binary, src],
+                check=True, capture_output=True, timeout=300,
             )
-        except Exception as e:  # pragma: no cover
-            results["calling_error"] = repr(e)
-    if "calling" not in results:
-        results["calling"] = measure_xla_calling(
-            2048 if on_tpu else 32, 200 if on_tpu else 50, repeats=1
+        out = subprocess.run(
+            [binary, "2000"], capture_output=True, text=True, timeout=600
         )
-    if on_tpu:
-        try:
-            results["pedigree"] = measure_pedigree(8, 50)
-        except Exception as e:  # pragma: no cover
-            results["pedigree_error"] = repr(e)
+        return json.loads(out.stdout.strip())
+    except Exception as e:
+        print(f"[bench] oracle failed: {e!r}", file=sys.stderr)
+        return None
 
-    oracle = oracle_rates()
+
+def spawn_workload(name, timeout):
+    """Run one workload in a child process under a hard timeout.
+
+    Returns (rate_or_None, error_or_None).  The child holds the
+    single-client TPU grant for its lifetime; the parent stays off the
+    device so a hung child costs only its own timeout."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--workload", name]
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {timeout}s"
+    dt = time.perf_counter() - t0
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().splitlines()[-3:]
+        return None, f"rc={proc.returncode} after {dt:.0f}s: {' | '.join(tail)}"
+    try:
+        last = proc.stdout.strip().splitlines()[-1]
+        return json.loads(last)["rate"], None
+    except Exception as e:
+        return None, f"unparseable output ({e!r}): {proc.stdout[-200:]!r}"
+
+
+def main():
+    here = os.path.dirname(os.path.abspath(__file__))
+    budget = float(os.environ.get("MCHAP_BENCH_BUDGET", "1500"))
+    deadline = time.monotonic() + budget
+    on_tpu = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+
+    partial_path = os.path.join(here, ".build", "bench_partial.json")
+    os.makedirs(os.path.dirname(partial_path), exist_ok=True)
+    results, errors = {}, {}
+
+    def checkpoint():
+        with open(partial_path, "w") as fh:
+            json.dump({"results": results, "errors": errors}, fh)
+
+    if on_tpu:
+        order = ["denovo", "calling", "pedigree"]
+    else:
+        order = ["xla_calling"]
+    if os.environ.get("MCHAP_BENCH_PEDIGREE", "1") == "0" and "pedigree" in order:
+        order.remove("pedigree")
+        errors["pedigree"] = "skipped (MCHAP_BENCH_PEDIGREE=0)"
+
+    for name in order:
+        remaining = deadline - time.monotonic()
+        timeout = min(CHILD_TIMEOUT[name], remaining)
+        if timeout < 60:
+            errors[name] = f"skipped (budget exhausted, {remaining:.0f}s left)"
+            print(f"[bench] {name}: {errors[name]}", file=sys.stderr)
+            continue
+        print(f"[bench] {name}: starting (timeout {timeout:.0f}s)", file=sys.stderr)
+        rate, err = spawn_workload(name, timeout)
+        if rate is not None:
+            key = "calling" if name == "xla_calling" else name
+            results[key] = rate
+            print(f"[bench] {name}: {rate:.1f} steps/s", file=sys.stderr)
+        else:
+            errors[name] = err
+            print(f"[bench] {name}: FAILED ({err})", file=sys.stderr)
+        checkpoint()
+
+    oracle = oracle_rates(here)
+    checkpoint()
+
     cores = 64  # BASELINE.md reference deployment
     extra = {
-        "calling_compound_steps_per_s": round(results["calling"], 1),
         "baseline_source": (
             "single-core C++ -O3 port of the reference inner loops "
             "(numba-class; includes the reference's llk caches) x 64 cores"
         ),
     }
+    if "calling" in results:
+        extra["calling_compound_steps_per_s"] = round(results["calling"], 1)
+        extra["calling_vpu_utilization"] = round(
+            results["calling"] * CALLING_FLOPS_PER_STEP / V5E_VPU_FLOPS, 4
+        )
     if oracle:
         denovo_base = oracle["denovo_steps_per_s_1core"] * cores
         calling_base = oracle["calling_steps_per_s_1core"] * cores
         extra["baseline_denovo_steps_per_s_64core"] = round(denovo_base, 1)
         extra["baseline_calling_steps_per_s_64core"] = round(calling_base, 1)
         extra["oracle"] = oracle
-        extra["calling_vs_baseline"] = round(results["calling"] / calling_base, 2)
+        if "calling" in results:
+            extra["calling_vs_baseline"] = round(
+                results["calling"] / calling_base, 2
+            )
     if "denovo" in results:
         extra["denovo_vpu_utilization"] = round(
             results["denovo"] * DENOVO_FLOPS_PER_STEP / V5E_VPU_FLOPS, 4
         )
-    extra["calling_vpu_utilization"] = round(
-        results["calling"] * CALLING_FLOPS_PER_STEP / V5E_VPU_FLOPS, 4
-    )
     if "pedigree" in results:
         extra["pedigree_compound_steps_per_s"] = round(results["pedigree"], 1)
         if oracle and "pedigree_steps_per_s_1core" in oracle:
@@ -311,9 +411,8 @@ def main():
             extra["pedigree_vs_baseline"] = round(
                 results["pedigree"] / pedigree_base, 2
             )
-    for k in ("denovo_error", "calling_error", "pedigree_error"):
-        if k in results:
-            extra[k] = results[k]
+    for name, err in errors.items():
+        extra[f"{name}_error"] = err
 
     if "denovo" in results:
         value = results["denovo"]
@@ -323,10 +422,14 @@ def main():
             if oracle
             else None
         )
-    else:
+    elif "calling" in results:
         value = results["calling"]
         metric = "calling_compound_steps_per_s"
         vs = extra.get("calling_vs_baseline")
+    else:
+        value = 0.0
+        metric = "denovo_compound_steps_per_s"
+        vs = None
 
     print(
         json.dumps(
@@ -342,4 +445,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--workload":
+        run_child(sys.argv[2])
+    else:
+        main()

@@ -397,8 +397,9 @@ def _fit_denovo_batch_pallas(
         base = _next_pow2(max(max_allele, 2))
         n_cap = min(kept, 512)
         with _timing.stage("device.tabulate"):
-            words, counts_t, first_t, n_uniq = tabulate_packed_trace(
-                packed, ploidy=ploidy, base=base, n_cap=n_cap, burn=burn
+            words, counts_t, first_t, n_uniq, llks_t = tabulate_packed_trace(
+                packed, llks, ploidy=ploidy, base=base, n_cap=n_cap,
+                burn=burn,
             )
             n_uniq_h = np.asarray(n_uniq)[:b]
         max_u = int(n_uniq_h.max(initial=1))
@@ -417,10 +418,13 @@ def _fit_denovo_batch_pallas(
                 else jnp.int32
             )
             with _timing.stage("device.trace_fetch"):
+                # O(n_unique) transfer total: states, multiplicities,
+                # first-seen indices, AND per-state llks — nothing
+                # O(n_steps) crosses the tunnel on this path
                 words_h = np.asarray(words[:k].astype(pack_dtype))[..., :b]
                 counts_h = np.asarray(counts_t[:k])[:, :b]
                 first_h = np.asarray(first_t[:k])[:, :b]
-                llks_h = np.asarray(llks[burn:])[:, :b]
+                llks_h = np.asarray(llks_t[:k])[:, :b]
             with _timing.stage("device.trace_unpack"):
                 alleles = decode_tabulated_states(
                     words_h, ploidy, base
@@ -434,7 +438,7 @@ def _fit_denovo_batch_pallas(
             firsts = first_h.reshape(k, n_samples, chains).transpose(
                 1, 2, 0
             )
-            llks_r = llks_h.reshape(kept, n_samples, chains).transpose(
+            llks_r = llks_h.reshape(k, n_samples, chains).transpose(
                 1, 2, 0
             )
             return [
@@ -449,7 +453,9 @@ def _fit_denovo_batch_pallas(
                 for i in range(n_samples)
             ]
         # > n_cap distinct states in some lane (diffuse posterior):
-        # fall through to the full-trace fetch below
+        # fall through to the full-trace fetch below.  Tally it so a
+        # real run's timing summary shows how often the cap bites.
+        _fallback.note_path("denovo-tabulate", "overflow-full-fetch")
 
     # pull the base-packed trace (4x less tunnel traffic than unpacked
     # int8 alleles) and decode host-side
@@ -1057,15 +1063,23 @@ class TabulatedGenotypeTrace:
     consume (reference classes.py:307-376), with first-seen ordering
     preserved so probability ties resolve identically to the full-trace
     path.
+
+    ``llks`` here is PER-STATE (each distinct state's log-likelihood at
+    its first occurrence, aligned with ``states``/``counts``), not the
+    per-step llk sequence of ``GenotypeMultiTrace`` — the VCF pipeline
+    never consumes the step sequence (GL/GP come from exact
+    enumeration, application/assemble.py:234-258), so fetching it
+    through the device link would defeat the O(n_unique) transfer this
+    class exists for.
     """
 
     def __init__(self, states, counts, first, llks, pre_burned=0, kept=None):
         self.states = np.asarray(states)  # [chains, k, ploidy, n_pos] int8
         self.counts = np.asarray(counts)  # [chains, k]
         self.first = np.asarray(first)  # [chains, k] kept-step index
-        self.llks = np.asarray(llks)  # [chains, kept]
+        self.llks = np.asarray(llks)  # [chains, k] per-state llk
         self.pre_burned = pre_burned
-        self.kept = self.llks.shape[1] if kept is None else kept
+        self.kept = int(self.counts.sum(axis=1).max()) if kept is None else kept
 
     def burn(self, n):
         """No-op when the burn-in was already sliced on device."""

@@ -235,24 +235,31 @@ def make_pedigree_kernels(max_ploidy, n_samples, max_children, n_pairs):
             comb_lut,
         )
 
+    def _masked_trio_sum(members, genotypes, ped):
+        """Sum of trio pmfs over a padded member list (-1 = padding).
+
+        A lax.scan rather than an unrolled loop: blankets reach 20+
+        members on real pedigrees (a bi-parental founder's children)
+        and unrolling a full trio_log_pmf per member made the traced
+        program enormous (multi-minute remote compiles; the round-3
+        bench hang)."""
+
+        def body(total, i):
+            contrib = trio_for_sample(jnp.maximum(i, 0), genotypes, ped)
+            return total + jnp.where(i >= 0, contrib, 0.0), None
+
+        total, _ = jax.lax.scan(body, jnp.float64(0.0), members)
+        return total
+
     def blanket_log_probability(s, genotypes, ped):
         """Self trio + children trios (reference prior.py:725-840)."""
         sample_children = ped[2]
         total = trio_for_sample(s, genotypes, ped)
-        for c_idx in range(max_children):
-            child = sample_children[s, c_idx]
-            contrib = trio_for_sample(jnp.maximum(child, 0), genotypes, ped)
-            total = total + jnp.where(child >= 0, contrib, 0.0)
-        return total
+        return total + _masked_trio_sum(sample_children[s], genotypes, ped)
 
     def generic_blanket_log_probability(blanket, genotypes, ped):
         """Joint over an explicit padded blanket (prior.py:845-953)."""
-        total = 0.0
-        for idx in range(blanket.shape[0]):
-            i = blanket[idx]
-            contrib = trio_for_sample(jnp.maximum(i, 0), genotypes, ped)
-            total = total + jnp.where(i >= 0, contrib, 0.0)
-        return total
+        return _masked_trio_sum(blanket, genotypes, ped)
 
     def sample_llk(rh, counts, genotype, ploidy):
         """llk of one padded genotype from its read-hap matrix."""

@@ -42,7 +42,7 @@ def _log2(base):
 @functools.partial(
     jax.jit, static_argnames=("ploidy", "base", "n_cap", "burn")
 )
-def tabulate_packed_trace(packed, *, ploidy, base, n_cap, burn=0):
+def tabulate_packed_trace(packed, llks=None, *, ploidy, base, n_cap, burn=0):
     """Tabulate the distinct genotype states of a packed trace per lane.
 
     Parameters
@@ -50,6 +50,10 @@ def tabulate_packed_trace(packed, *, ploidy, base, n_cap, burn=0):
     packed : int[n_steps, n_base, lanes]
         Base-coded trace: digit ``h`` of lane ``l`` step ``s`` position
         ``j`` is haplotype ``h``'s allele (kernel row order).
+    llks : float[n_steps, lanes], optional
+        Per-step log-likelihoods; when given, each distinct state's llk
+        (at its first occurrence) rides along so the host can fetch
+        O(n_unique) llk values instead of the full step trace.
     ploidy, base : static
         Digit count and radix of the packing.
     n_cap : static
@@ -73,11 +77,21 @@ def tabulate_packed_trace(packed, *, ploidy, base, n_cap, burn=0):
     n_unique : i32[lanes]
         True distinct-state count; a lane with ``n_unique > n_cap`` is
         INCOMPLETE and the caller must fall back to a full-trace fetch.
+    state_llks : f[k, lanes] — only when ``llks`` was given
+        Each distinct state's llk at its first occurrence.
     """
     packed = packed[burn:].astype(jnp.int32)
     t, nb, lanes = packed.shape
     k_out = min(n_cap, t)
     bpos = _log2(base)  # bits per allele digit
+    # packed state words must fit in (signed) int32: callers gate the
+    # radix (base_pack**ploidy <= 2**24 in models/assemble.py) but a
+    # standalone call with a larger radix/ploidy would silently overflow
+    # and corrupt the tabulation — fail loudly instead
+    assert bpos * ploidy <= 30, (
+        f"packed state word needs {bpos * ploidy} bits"
+        " (> 30): radix**ploidy too large for int32 tabulation"
+    )
 
     # 1. canonical haplotype-row sort per step: ascending lexicographic
     #    with position 0 the most significant key (matching the host
@@ -134,11 +148,15 @@ def tabulate_packed_trace(packed, *, ploidy, base, n_cap, burn=0):
     step_idx = jnp.broadcast_to(
         jnp.arange(t, dtype=jnp.int32)[:, None], (t, lanes)
     )
+    values = (step_idx,)
+    if llks is not None:
+        values = values + (llks[burn:],)
     sorted_ops = jax.lax.sort(
-        tuple(key_words) + (step_idx,), dimension=0, num_keys=n_kw
+        tuple(key_words) + values, dimension=0, num_keys=n_kw
     )
     kw_s = jnp.stack(sorted_ops[:n_kw], axis=1)  # [T, n_kw, L]
     idx_s = sorted_ops[n_kw]
+    llk_s = sorted_ops[n_kw + 1] if llks is not None else None
 
     # 3. run-length encode
     head = jnp.concatenate(
@@ -154,14 +172,18 @@ def tabulate_packed_trace(packed, *, ploidy, base, n_cap, burn=0):
     # 4. compact the run heads to the front with one stable single-key
     #    sort: each head keys on its segment id, non-heads share key T
     headkey = jnp.where(head, seg, t)
+    comp_vals = (idx_s, step_idx)
+    if llk_s is not None:
+        comp_vals = comp_vals + (llk_s,)
     comp = jax.lax.sort(
-        (headkey,) + tuple(sorted_ops[:n_kw]) + (idx_s, step_idx),
+        (headkey,) + tuple(sorted_ops[:n_kw]) + comp_vals,
         dimension=0,
         num_keys=1,
     )
     kw_c = jnp.stack(comp[1 : 1 + n_kw], axis=1)[:k_out]  # [k, n_kw, L]
     first = comp[1 + n_kw][:k_out]
     start = comp[2 + n_kw]  # run-start positions (rows < n_unique)
+    state_llks = comp[3 + n_kw][:k_out] if llk_s is not None else None
     arange_t = jnp.arange(t, dtype=jnp.int32)[:, None]
     nxt = jnp.where(
         arange_t + 1 < n_unique[None, :], jnp.roll(start, -1, axis=0), t
@@ -177,6 +199,8 @@ def tabulate_packed_trace(packed, *, ploidy, base, n_cap, burn=0):
         shift = bstate * (width - 1 - i)
         words_list.append((kw_c[:, w, :] >> shift) & state_mask)
     words_c = jnp.stack(words_list, axis=1)  # [k, NB, L]
+    if state_llks is not None:
+        return words_c, counts, first, n_unique, state_llks
     return words_c, counts, first, n_unique
 
 

@@ -62,12 +62,19 @@ def test_tabulate_matches_numpy_oracle(ploidy, nb, n_alleles, steps, lanes):
         base *= 2
     g = _random_trace(rng, steps, ploidy, nb, lanes, n_alleles)
     packed = _pack(g, base)
-    words, counts, first, n_unique = tabulate_packed_trace(
-        packed, ploidy=ploidy, base=base, n_cap=steps, burn=0
+    llks = rng.normal(size=(steps, lanes))
+    words, counts, first, n_unique, state_llks = tabulate_packed_trace(
+        packed, llks, ploidy=ploidy, base=base, n_cap=steps, burn=0
     )
-    words, counts, first, n_unique = map(
-        np.asarray, (words, counts, first, n_unique)
+    words, counts, first, n_unique, state_llks = map(
+        np.asarray, (words, counts, first, n_unique, state_llks)
     )
+    # each state's llk rides from its first occurrence
+    for l in range(lanes):
+        live = counts[:, l] > 0
+        np.testing.assert_allclose(
+            state_llks[live, l], llks[first[live, l], l], rtol=1e-12
+        )
     states = decode_tabulated_states(words, ploidy, base)
     for l in range(lanes):
         # oracle: canonicalise rows (lexicographic, position 0 primary),
@@ -139,10 +146,10 @@ def _tabulated_from_full(genotypes, llks, n_alleles):
     while base < max(n_alleles, 2):
         base *= 2
     packed = _pack(genotypes.transpose(1, 2, 3, 0), base)  # [steps, NB, C]
-    words, counts, first, n_unique = map(
+    words, counts, first, n_unique, state_llks = map(
         np.asarray,
         tabulate_packed_trace(
-            packed, ploidy=ploidy, base=base, n_cap=steps, burn=0
+            packed, llks.T, ploidy=ploidy, base=base, n_cap=steps, burn=0
         ),
     )
     k = int(max(n_unique.max(), 1))
@@ -151,7 +158,7 @@ def _tabulated_from_full(genotypes, llks, n_alleles):
         states.transpose(3, 0, 1, 2),  # [C, k, P, NB]
         counts[:k].T,
         first[:k].T,
-        llks,
+        state_llks[:k].T,
         pre_burned=0,
         kept=steps,
     )
@@ -260,5 +267,11 @@ def test_pallas_interpret_tabulated_matches_full():
         pa, pb = a.posterior(), b.posterior()
         np.testing.assert_array_equal(pa.genotypes, pb.genotypes)
         np.testing.assert_array_equal(pa.probabilities, pb.probabilities)
-        np.testing.assert_allclose(a.llks, b.llks, rtol=1e-6)
+        # per-state llks equal the full trace's llk at each state's
+        # first occurrence (the O(n_unique) llk contract)
+        for c in range(b.counts.shape[0]):
+            live = b.counts[c] > 0
+            np.testing.assert_allclose(
+                b.llks[c][live], a.llks[c][b.first[c][live]], rtol=1e-6
+            )
         assert a.replicate_incongruence() == b.replicate_incongruence()
