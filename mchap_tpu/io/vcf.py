@@ -20,39 +20,65 @@ from mchap_tpu.io.util import qual_of_prob
 # ---------------------------------------------------------------------------
 
 
+def _float_cell(x, precision):
+    """One float as VCF text: round, str, trim a trailing '.0'.
+
+    The trim is TEXTUAL, not numeric: a negative zero renders '-0'
+    (str(-0.0) = '-0.0' minus the suffix), never '0', and values are
+    truncated to 16 characters before trimming — both observable quirks
+    of the reference output (io/vcf/util.py:4-42 rounds then casts the
+    array to U16 and strips '.0' with string replaces) that the golden
+    VCFs pin byte-for-byte.
+    """
+    x = np.round(x, precision)
+    if np.isnan(x):
+        return "."
+    s = str(x)[:16]
+    return s[:-2] if s.endswith(".0") else s
+
+
 def vcfstr(obj, precision=3):
     """Format a value for VCF output: precision-3 floats with trailing
-    '.0' trimmed, nan/None/empty -> '.', iterables comma-joined."""
-    if isinstance(obj, np.ndarray):
-        if obj.ndim == 0:
-            return vcfstr(obj.item(), precision=precision)
-        if len(obj) == 0:
-            return "."
-        if np.issubdtype(obj.dtype, np.floating):
-            obj = obj.round(precision)
-            string = ",".join(obj.astype("U16")).replace("nan", ".").replace(".0,", ",")
-            if string[-2:] == ".0":
-                return string[:-2]
-            return string
-        if np.issubdtype(obj.dtype, np.integer):
-            return ",".join(obj.astype("U16"))
-        return ",".join(vcfstr(o, precision=precision) for o in obj)
-    if isinstance(obj, str):
-        return obj if obj else "."
-    if hasattr(obj, "__iter__"):
-        obj = list(obj)
-        if len(obj) == 0:
-            return "."
-        return ",".join(vcfstr(o, precision=precision) for o in obj)
+    '.0' trimmed, nan/None/empty -> '.', iterables comma-joined.
+
+    Byte-compatible with reference ``io/vcf/util.py:4-42`` (verified by
+    the golden-VCF suite and ``tests/test_vcf_format.py``), written as a
+    per-cell formatter rather than the reference's whole-string
+    replace pipeline.
+    """
+    # scalars ---------------------------------------------------------
+    if isinstance(obj, np.ndarray) and obj.ndim == 0:
+        obj = obj.item()
     if obj is None:
         return "."
+    if isinstance(obj, str):
+        return obj if obj else "."
     if isinstance(obj, (float, np.floating)):
+        # scalar floats go through int(), NOT the textual trim: a scalar
+        # -0.0 renders '0' where a float-ARRAY element renders '-0'
+        # (reference scalar branch io/vcf/util.py:32-39 vs array branch
+        # :9-16 — an asymmetry the byte contract preserves)
         if np.isnan(obj):
             return "."
-        obj = np.round(obj, precision)
-        i = int(obj)
-        return str(i) if i == obj else str(obj)
-    return str(obj)
+        r = np.round(obj, precision)
+        i = int(r)
+        return str(i) if i == r else str(r)
+    if not hasattr(obj, "__iter__"):
+        return str(obj)  # ints, bools, anything str-able
+
+    # sequences -------------------------------------------------------
+    cells = (
+        obj
+        if isinstance(obj, np.ndarray)
+        else np.asarray(list(obj), dtype=object)
+    )
+    if len(cells) == 0:
+        return "."
+    if np.issubdtype(cells.dtype, np.floating):
+        return ",".join(_float_cell(x, precision) for x in cells)
+    if np.issubdtype(cells.dtype, np.integer):
+        return ",".join(str(x) for x in cells)
+    return ",".join(vcfstr(x, precision=precision) for x in cells)
 
 
 # ---------------------------------------------------------------------------

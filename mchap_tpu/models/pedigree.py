@@ -94,6 +94,8 @@ class PedigreeCallingMCMC:
             n_samples,
             sample_children.shape[1],
             len(parental_pairs),
+            sample_parents_np=sample_parents,
+            sample_children_np=sample_children,
         )
         trace = sampler(
             key,
@@ -225,7 +227,12 @@ def fit_pedigree_multi(
         sample_parents, sample_children
     )
     sampler, _ = _kernel.make_pedigree_kernels(
-        max_ploidy, n_samples, sample_children.shape[1], len(parental_pairs)
+        max_ploidy,
+        n_samples,
+        sample_children.shape[1],
+        len(parental_pairs),
+        sample_parents_np=np.asarray(sample_parents),
+        sample_children_np=sample_children,
     )
 
     seed = random_seed if random_seed is not None else 0

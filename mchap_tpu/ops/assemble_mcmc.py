@@ -656,12 +656,23 @@ def snp_posteriors(reads, n_alleles_arr, ploidy, use_prior=False, inbreeding=0.0
     )  # [G, A]
     reads = jnp.asarray(reads, dtype)
     m = jnp.where(jnp.isnan(reads), 1.0, reads)  # gap -> multiplicative identity
-    probs_rjg = jnp.einsum("rja,ga->rjg", m, dosage) / ploidy  # [R, nb, G]
+    # HIGHEST keeps the dosage contraction at true input precision (TPU
+    # matmuls otherwise downcast f32 operands to bf16 passes)
+    probs_rjg = (
+        jnp.einsum(
+            "rja,ga->rjg", m, dosage, precision=jax.lax.Precision.HIGHEST
+        )
+        / ploidy
+    )  # [R, nb, G]
     tiny = 1e-300 if dtype == jnp.float64 else 1e-30
-    read_log = jnp.log(jnp.maximum(probs_rjg, tiny))
+    # the per-read log is dtype-priced (the heavy tensor) but the
+    # reduction over reads accumulates in f64 either way: on deep loci
+    # an f32 running sum can drift enough to flip the >= 0.999
+    # homozygote-fix decision vs the per-sample f64 path
+    read_log = jnp.log(jnp.maximum(probs_rjg, tiny)).astype(jnp.float64)
     if read_counts is not None:
         read_log = read_log * jnp.asarray(read_counts, read_log.dtype)[:, None, None]
-    llks = jnp.sum(read_log, axis=0).astype(jnp.float64)  # [nb, G]
+    llks = jnp.sum(read_log, axis=0)  # [nb, G] (f64)
     if use_prior:
         lpriors = jax.vmap(
             lambda n: log_genotype_prior(table, n, inbreeding=inbreeding)
@@ -724,10 +735,12 @@ def homozygosity_probabilities_batch(reads_b, n_alleles_mat, ploidy,
         read_counts_b = np.ones((n_samples, 1))
 
     def one(reads, n_alleles_arr, inbreeding, read_counts):
-        # f32 on the heavy per-read tensor: this is a >= 0.999 screening
-        # threshold, not a reported statistic, and emulated f64 on TPU
-        # makes the [S, R, nb, G] product the most expensive program in
-        # the whole batched pipeline (the normalisation stays f64)
+        # f32 on the heavy per-read tensor (emulated f64 on TPU makes
+        # the [S, R, nb, G] product the most expensive program in the
+        # whole batched pipeline); the read-axis reduction and the
+        # normalisation accumulate in f64 inside snp_posteriors, so the
+        # >= 0.999 fix decision sees only per-read rounding, not
+        # accumulated drift, vs the per-sample f64 path
         _, probs = snp_posteriors(
             reads, n_alleles_arr, ploidy, use_prior, inbreeding, read_counts,
             dtype=jnp.float32,

@@ -5,9 +5,18 @@ reference's irregular gamete-dosage iterator (``increment_dosage``,
 prior.py:230-294) becomes a fixed-size masked enumeration over static
 composition tables (all dosage vectors of a given gamete ploidy), so
 the trio pmf is a handful of masked gathers + a logsumexp.  Chains are
-the batch axis (vmap); samples/slots/pairs are sequential lax.scans
-(cross-sample coupling through the Markov blanket forbids a sample
-batch axis — SURVEY.md §3.4).
+the batch axis (vmap).  The cross-sample Markov-blanket coupling that
+forbids a naive sample batch axis (SURVEY.md §3.4) is handled with a
+CHROMATIC Gibbs schedule: samples are partitioned into colors whose
+members are mutually outside each other's blankets (``chromatic_colors``),
+each color updating as one vmapped batch — on the bi-parental example
+design that is 2 founder stages + ONE stage for all 20 progeny, versus
+the reference's 22 sequential sample updates
+(``mchap/pedigree/mcmc.py:362-412``).  The reference shuffles sample
+order per step; a fixed color order is an equally valid Gibbs sweep
+(the per-sample conditionals are unchanged) and the exact-posterior
+gates in tests/test_pedigree_mcmc.py verify the stationary
+distribution.
 
 Genotypes are fixed-width int arrays [n_samples, max_ploidy] padded
 with -1 for lower-ploidy samples, exactly as the reference.
@@ -200,12 +209,78 @@ def trio_log_pmf(
     return jax.scipy.special.logsumexp(stacked)
 
 
-def make_pedigree_kernels(max_ploidy, n_samples, max_children, n_pairs):
-    """Build the trio/blanket/sampler functions for static pedigree shapes."""
+def chromatic_colors(sample_parents):
+    """Greedy coloring of the pedigree's moral graph.
+
+    Two samples may share a color only if neither is in the other's
+    Markov blanket (parent, child, or co-parent) — then their Gibbs
+    conditionals are independent given the rest and the color updates
+    in ONE vmapped device step (chromatic Gibbs).  On the bi-parental
+    designs this tool targets (reference docs/example: 2 founders +
+    20 progeny) the progeny all land in one color, collapsing the
+    sequential sample sweep from n_samples stages to ~3.
+    """
+    sample_parents = np.asarray(sample_parents)
+    n = len(sample_parents)
+    adj = [set() for _ in range(n)]
+    for i in range(n):
+        p, q = sample_parents[i]
+        for r in (int(p), int(q)):
+            if r >= 0:
+                adj[i].add(r)
+                adj[r].add(i)
+        if p >= 0 and q >= 0:
+            adj[int(p)].add(int(q))
+            adj[int(q)].add(int(p))
+    colors = []
+    for i in sorted(range(n), key=lambda x: -len(adj[x])):
+        for group in colors:
+            if adj[i].isdisjoint(group):
+                group.add(i)
+                break
+        else:
+            colors.append({i})
+    return [sorted(g) for g in colors]
+
+
+def make_pedigree_kernels(
+    max_ploidy,
+    n_samples,
+    max_children,
+    n_pairs,
+    sample_parents_np=None,
+    sample_children_np=None,
+):
+    """Build the trio/blanket/sampler functions for static pedigree shapes.
+
+    ``sample_parents_np``/``sample_children_np`` (host-side numpy copies
+    of the pedigree structure) enable the CHROMATIC schedule: samples
+    are partitioned into Markov-blanket-independent colors updated as
+    one vmapped batch each, and every color's children-trio sum is
+    sliced to that color's true max child count (a childless-progeny
+    color pays zero child-trio cost instead of ``max_children`` masked
+    evaluations).  Without them the sampler falls back to one color per
+    sample — the reference's sequential sweep order.
+    """
     tables_np, valid_np = composition_tables(max_ploidy)
     tables = jnp.asarray(tables_np)
     tables_valid = jnp.asarray(valid_np)
     comb_lut = jnp.asarray(_COMB_LUT)
+
+    if sample_parents_np is None:
+        colors = [[i] for i in range(n_samples)]
+    else:
+        colors = chromatic_colors(sample_parents_np)
+    color_ids = [np.asarray(c, np.int32) for c in colors]
+    if sample_children_np is not None:
+        sample_children_np = np.asarray(sample_children_np, np.int32)
+        color_children = []
+        for c in colors:
+            rows = sample_children_np[c]  # [n_c, max_children]
+            w = int((rows >= 0).sum(axis=1).max(initial=0))
+            color_children.append(rows[:, :w].copy())
+    else:
+        color_children = [None] * len(colors)
 
     def trio_for_sample(i, genotypes, ped):
         """Trio pmf of sample i given the full genotype matrix."""
@@ -238,24 +313,26 @@ def make_pedigree_kernels(max_ploidy, n_samples, max_children, n_pairs):
     def _masked_trio_sum(members, genotypes, ped):
         """Sum of trio pmfs over a padded member list (-1 = padding).
 
-        A lax.scan rather than an unrolled loop: blankets reach 20+
-        members on real pedigrees (a bi-parental founder's children)
-        and unrolling a full trio_log_pmf per member made the traced
-        program enormous (multi-minute remote compiles; the round-3
-        bench hang)."""
+        One VMAPPED batch of trio evaluations, not an unrolled loop:
+        blankets reach 20+ members on real pedigrees (a bi-parental
+        founder's children) and unrolling a full trio_log_pmf per
+        member made the traced program enormous (multi-minute remote
+        compiles; the round-3 bench hang).  vmap keeps one traced
+        instance AND evaluates the members in parallel on device."""
+        if members.shape[0] == 0:
+            return jnp.float64(0.0)
+        contribs = jax.vmap(
+            lambda i: trio_for_sample(jnp.maximum(i, 0), genotypes, ped)
+        )(members)
+        return jnp.sum(jnp.where(members >= 0, contribs, 0.0))
 
-        def body(total, i):
-            contrib = trio_for_sample(jnp.maximum(i, 0), genotypes, ped)
-            return total + jnp.where(i >= 0, contrib, 0.0), None
+    def blanket_log_probability(s, children_row, genotypes, ped):
+        """Self trio + children trios (reference prior.py:725-840).
 
-        total, _ = jax.lax.scan(body, jnp.float64(0.0), members)
-        return total
-
-    def blanket_log_probability(s, genotypes, ped):
-        """Self trio + children trios (reference prior.py:725-840)."""
-        sample_children = ped[2]
+        ``children_row`` is the (possibly color-sliced) padded child
+        list of sample ``s``; width 0 skips the child sum entirely."""
         total = trio_for_sample(s, genotypes, ped)
-        return total + _masked_trio_sum(sample_children[s], genotypes, ped)
+        return total + _masked_trio_sum(children_row, genotypes, ped)
 
     def generic_blanket_log_probability(blanket, genotypes, ped):
         """Joint over an explicit padded blanket (prior.py:845-953)."""
@@ -271,7 +348,7 @@ def make_pedigree_kernels(max_ploidy, n_samples, max_children, n_pairs):
         ) - jnp.log(ploidy.astype(jnp.float64))
         return counts @ read_log
 
-    def _slot_options(s, k, genotypes, rh_all, counts_all, ped):
+    def _slot_options(s, k, children_row, genotypes, rh_all, counts_all, ped):
         """Per-candidate state for updating slot k of sample s: llk of
         every panel allele (rank-1 logaddexp trick over the precomputed
         read-hap matrix), Markov-blanket prior of every candidate
@@ -295,7 +372,9 @@ def make_pedigree_kernels(max_ploidy, n_samples, max_children, n_pairs):
         )
 
         def blanket_for(g_s):
-            return blanket_log_probability(s, genotypes.at[s].set(g_s), ped)
+            return blanket_log_probability(
+                s, children_row, genotypes.at[s].set(g_s), ped
+            )
 
         lpriors = jax.vmap(blanket_for)(options)  # [H]
         counts_other = jnp.sum(
@@ -303,44 +382,47 @@ def make_pedigree_kernels(max_ploidy, n_samples, max_children, n_pairs):
         )
         return llks, lpriors, counts_other
 
-    def gibbs_slot(key, s, k, genotypes, rh_all, counts_all, ped, n_valid):
-        """Gibbs update of slot k of sample s over all panel alleles.
+    def gibbs_slot(key, s, k, children_row, genotypes, rh_all, counts_all,
+                   ped, n_valid):
+        """Gibbs draw for slot k of sample s over all panel alleles.
 
         The multiplicity term corrects slot-wise sampling of the
         multiset state (same Jacobian as the calling sampler's flat
         allele prior).  ``n_valid`` masks panel padding columns (locus
-        batching pads every panel to the block's max size).
+        batching pads every panel to the block's max size).  Returns
+        the NEW ALLELE for the slot (the chromatic sweep owns the row).
         """
         (sample_ploidy, *_rest) = ped
         n_alleles = rh_all.shape[-1]
         g = genotypes[s]
         cur = g[k]
         llks, lpriors, counts_other = _slot_options(
-            s, k, genotypes, rh_all, counts_all, ped
+            s, k, children_row, genotypes, rh_all, counts_all, ped
         )
         lmult = jnp.log(counts_other.astype(jnp.float64) + 1.0)
         logits = jnp.where(
             jnp.arange(n_alleles) < n_valid, llks + lpriors + lmult, -jnp.inf
         )
         choice = jax.random.categorical(key, logits).astype(g.dtype)
-        new_allele = jnp.where(k < sample_ploidy[s], choice, cur)
-        return genotypes.at[s, k].set(new_allele)
+        return jnp.where(k < sample_ploidy[s], choice, cur)
 
-    def mh_slot(key, s, k, genotypes, rh_all, counts_all, ped, n_valid):
-        """Metropolis-Hastings update of slot k of sample s.
+    def mh_slot(key, s, k, children_row, genotypes, rh_all, counts_all,
+                ped, n_valid):
+        """Metropolis-Hastings draw for slot k of sample s.
 
         Compound proposal distribution over the valid panel alleles:
         each non-current allele is proposed uniformly and accepted with
         min(1, llk_ratio * prior_ratio * proposal_ratio); the leftover
         mass keeps the current allele (reference pedigree/mcmc.py:15-142,
-        same regime as the calling sampler's MH step).
+        same regime as the calling sampler's MH step).  Returns the new
+        allele for the slot.
         """
         (sample_ploidy, *_rest) = ped
         n_alleles = rh_all.shape[-1]
         g = genotypes[s]
         cur = g[k]
         llks, lpriors, counts_other = _slot_options(
-            s, k, genotypes, rh_all, counts_all, ped
+            s, k, children_row, genotypes, rh_all, counts_all, ped
         )
         # proposal ratio: copies of candidate in the proposed genotype /
         # copies of the current allele in the current genotype
@@ -357,8 +439,7 @@ def make_pedigree_kernels(max_ploidy, n_samples, max_children, n_pairs):
         cdf = jnp.cumsum(probs)
         u = jax.random.uniform(key, dtype=cdf.dtype)
         choice = jnp.sum(cdf <= u * cdf[-1], dtype=jnp.int32).astype(g.dtype)
-        new_allele = jnp.where(k < sample_ploidy[s], choice, cur)
-        return genotypes.at[s, k].set(new_allele)
+        return jnp.where(k < sample_ploidy[s], choice, cur)
 
     def pair_swap(key, pair, blanket, genotypes, rh_all, counts_all, ped):
         """MH allele swap between a parental pair (mcmc.py:503-655)."""
@@ -437,36 +518,50 @@ def make_pedigree_kernels(max_ploidy, n_samples, max_children, n_pairs):
         slot_fn = gibbs_slot if step_type == 0 else mh_slot
 
         def chain(key, genotypes0):
-            def step(genotypes, step_key):
-                korder, kslots, kswaps = jax.random.split(step_key, 3)
-                order = jax.random.permutation(korder, n_samples)
-                slot_keys = jax.random.split(kslots, n_samples * (max_ploidy + 1))
+            def sweep_sample(skeys, s, children_row, snapshot):
+                """Slot sweep of one sample against a color snapshot.
 
-                def sample_body(genotypes, xs):
-                    s, skeys = xs
-                    perm_key, slot_k = skeys[0], skeys[1:]
-                    slot_order = jax.random.permutation(perm_key, max_ploidy)
+                Within a color every sample reads the OTHER samples'
+                genotypes from the color-start snapshot (they are
+                conditionally independent given it — that is the color
+                invariant) while its own row evolves slot to slot.
+                Returns the sample's new genotype row.
+                """
+                perm_key, slot_k = skeys[0], skeys[1:]
+                slot_order = jax.random.permutation(perm_key, max_ploidy)
 
-                    def slot_body(genotypes, slot_xs):
-                        k, kkey = slot_xs
-                        return (
-                            slot_fn(
-                                kkey, s, k, genotypes, rh_all, counts_all, ped,
-                                n_valid,
-                            ),
-                            None,
-                        )
-
-                    genotypes, _ = jax.lax.scan(
-                        slot_body, genotypes, (slot_order, slot_k)
+                def slot_body(row, slot_xs):
+                    k, kkey = slot_xs
+                    g_full = snapshot.at[s].set(row)
+                    a = slot_fn(
+                        kkey, s, k, children_row, g_full, rh_all,
+                        counts_all, ped, n_valid,
                     )
-                    return genotypes, None
+                    return row.at[k].set(a), None
 
-                genotypes, _ = jax.lax.scan(
-                    sample_body,
-                    genotypes,
-                    (order, slot_keys.reshape(n_samples, max_ploidy + 1, 2)),
+                row, _ = jax.lax.scan(
+                    slot_body, snapshot[s], (slot_order, slot_k)
                 )
+                return row
+
+            def step(genotypes, step_key):
+                kslots, kswaps = jax.random.split(step_key)
+                all_keys = jax.random.split(
+                    kslots, n_samples * (max_ploidy + 1)
+                ).reshape(n_samples, max_ploidy + 1, 2)
+                # chromatic sweep: colors sequential (they interact),
+                # samples within a color one vmapped batch
+                for ci, ids_np in enumerate(color_ids):
+                    ids = jnp.asarray(ids_np)
+                    ch_tab = color_children[ci]
+                    if ch_tab is None:
+                        ch_rows = sample_children[ids]  # [n_c, max_children]
+                    else:
+                        ch_rows = jnp.asarray(ch_tab)  # [n_c, w_color]
+                    new_rows = jax.vmap(
+                        sweep_sample, in_axes=(0, 0, 0, None)
+                    )(all_keys[ids], ids, ch_rows, genotypes)
+                    genotypes = genotypes.at[ids].set(new_rows)
                 if swap_parental_alleles and n_pairs > 0:
                     pair_keys = jax.random.split(kswaps, n_pairs)
 

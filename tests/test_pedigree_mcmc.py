@@ -233,3 +233,47 @@ def test_pedigree_incongruence_detects_impossible_child():
         np.full(3, 2), parents, np.full((3, 2), 1), np.zeros((3, 2))
     )
     np.testing.assert_allclose(out, [0.0, 0.0, 1.0])
+
+
+def test_chromatic_colors_biparental():
+    """Bi-parental design: founders isolated, all progeny share a color."""
+    n = 22
+    parents = np.full((n, 2), -1, int)
+    parents[2:] = [0, 1]
+    colors = K.chromatic_colors(parents)
+    assert sorted(map(tuple, colors)) == sorted(
+        [(0,), (1,), tuple(range(2, n))]
+    )
+
+
+def test_chromatic_colors_are_valid():
+    """No two same-color samples may share a Markov-blanket edge."""
+    rng = np.random.default_rng(0)
+    # three-generation pedigree with half-sibs and an unrelated sample
+    parents = np.array(
+        [
+            [-1, -1],  # 0 founder
+            [-1, -1],  # 1 founder
+            [0, 1],    # 2
+            [0, 1],    # 3 full sib of 2
+            [-1, -1],  # 4 founder
+            [2, 4],    # 5 grandchild
+            [2, -1],   # 6 half-sib of 5 (single known parent)
+            [-1, -1],  # 7 unrelated
+        ]
+    )
+    colors = K.chromatic_colors(parents)
+    assert sorted(i for c in colors for i in c) == list(range(len(parents)))
+    # build the moral graph and check every color is an independent set
+    n = len(parents)
+    adj = np.zeros((n, n), bool)
+    for i, (p, q) in enumerate(parents):
+        for r in (p, q):
+            if r >= 0:
+                adj[i, r] = adj[r, i] = True
+        if p >= 0 and q >= 0:
+            adj[p, q] = adj[q, p] = True
+    for c in colors:
+        for a in c:
+            for b in c:
+                assert a == b or not adj[a, b]
