@@ -61,8 +61,13 @@ CALLING_STEPS = 500
 DENOVO_STEPS = 200
 CALLING_LANES = 65536
 DENOVO_LANES = 16384
-PEDIGREE_LOCI = int(os.environ.get("MCHAP_BENCH_PEDIGREE_LOCI", "8"))
-PEDIGREE_STEPS = int(os.environ.get("MCHAP_BENCH_PEDIGREE_STEPS", "50"))
+# pedigree bench runs at a production-scale locus batch: loci are the
+# tool's data-parallel axis (the reference forks one process per locus
+# block; its 64-core baseline is exactly 64 loci in flight), and the
+# TPU's win on this sampler is wide-batch throughput, not single-locus
+# latency
+PEDIGREE_LOCI = int(os.environ.get("MCHAP_BENCH_PEDIGREE_LOCI", "256"))
+PEDIGREE_STEPS = int(os.environ.get("MCHAP_BENCH_PEDIGREE_STEPS", "25"))
 
 V5E_VPU_FLOPS = 3.7e12  # f32 vector peak, v5e (8 sublanes*128 lanes*4*940MHz)
 

@@ -20,6 +20,26 @@ from mchap_tpu.ops.likelihood import prepare_reads, read_hap_loglik
 _STEP_TYPES = {"Gibbs": 0, "Metropolis-Hastings": 1}
 
 
+def _pedigree_dtype():
+    """Working precision for the pedigree sampler.
+
+    f64 (reference parity) on CPU; f32 on accelerators, where f64 is
+    software-emulated — ~8x the arithmetic and a lowered program so
+    large that remote compiles exceed 25 minutes.  The f32 posterior is
+    gated against f64 and exact enumeration
+    (tests/test_pedigree_mcmc.py); override with
+    ``MCHAP_PEDIGREE_DTYPE={f32,f64}``.
+    """
+    import os
+
+    env = os.environ.get("MCHAP_PEDIGREE_DTYPE", "auto").lower()
+    if env in ("f32", "float32"):
+        return jnp.float32
+    if env in ("f64", "float64"):
+        return jnp.float64
+    return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+
+
 @dataclass
 class PedigreeCallingMCMC:
     """Joint MCMC over all samples in a pedigree.
@@ -63,10 +83,13 @@ class PedigreeCallingMCMC:
                 log_freqs = np.log(np.asarray(self.frequencies, float))
             assert len(log_freqs) == n_haps
 
+        dtype = _pedigree_dtype()
         # one read-hap matrix for the whole pedigree (single MXU matmul)
         log_reads = prepare_reads(np.asarray(sample_reads, float))
-        rh_all = read_hap_loglik(log_reads, jnp.asarray(haplotypes))  # [S, R, H]
-        counts_all = jnp.asarray(sample_read_counts, jnp.float64)
+        rh_all = read_hap_loglik(log_reads, jnp.asarray(haplotypes)).astype(
+            dtype
+        )  # [S, R, H]
+        counts_all = jnp.asarray(sample_read_counts, dtype)
 
         seed = self.random_seed if self.random_seed is not None else 0
         key = jax.random.PRNGKey(seed)
@@ -96,6 +119,7 @@ class PedigreeCallingMCMC:
             len(parental_pairs),
             sample_parents_np=sample_parents,
             sample_children_np=sample_children,
+            dtype=dtype,
         )
         trace = sampler(
             key,
@@ -108,9 +132,9 @@ class PedigreeCallingMCMC:
             jnp.asarray(sample_parents),
             jnp.asarray(sample_children),
             jnp.asarray(self.gamete_tau),
-            jnp.asarray(self.gamete_lambda, jnp.float64),
-            jnp.asarray(self.gamete_error, jnp.float64),
-            jnp.asarray(log_freqs),
+            jnp.asarray(self.gamete_lambda, dtype),
+            jnp.asarray(self.gamete_error, dtype),
+            jnp.asarray(log_freqs, dtype),
             jnp.asarray(parental_pairs),
             jnp.asarray(pair_blankets),
             n_steps=self.steps,
@@ -169,20 +193,39 @@ def fit_pedigree_multi(
     max_ploidy = int(sample_ploidy.max())
     h_max = max(len(p["haplotypes"]) for p in problems)
 
-    rh_list = []
+    # read-hap matrices: group same-shaped problems and run ONE
+    # prepare+matmul dispatch per group — per-problem dispatches cost a
+    # device round trip each, which dominates wall-clock through the
+    # remote tunnel at production locus batches
+    shape_groups = {}
+    for i, p in enumerate(problems):
+        reads = np.asarray(p["sample_reads"], float)
+        haps = np.asarray(p["haplotypes"])
+        shape_groups.setdefault((reads.shape, haps.shape), []).append(i)
+    rh_list = [None] * n_problems
+    for (rshape, hshape), idxs in shape_groups.items():
+        reads_g = np.stack(
+            [np.asarray(problems[i]["sample_reads"], float) for i in idxs]
+        )  # [G, S, R, P, N]
+        haps_g = np.stack(
+            [np.asarray(problems[i]["haplotypes"]) for i in idxs]
+        )  # [G, H, P]
+        log_reads = prepare_reads(reads_g)
+        rh_g = np.asarray(
+            jax.vmap(read_hap_loglik)(log_reads, jnp.asarray(haps_g))
+        )  # [G, S, R, H]
+        for gi, i in enumerate(idxs):
+            rh_list[i] = rh_g[gi]
     counts_list = []
     freq_rows = []
-    for p in problems:
-        log_reads = prepare_reads(np.asarray(p["sample_reads"], float))
-        rh = np.asarray(
-            read_hap_loglik(log_reads, jnp.asarray(p["haplotypes"]))
-        )  # [S, R_i, H_i]
+    for i, p in enumerate(problems):
+        rh = rh_list[i]
         h_i = rh.shape[-1]
         if h_i < h_max:
             rh = np.concatenate(
                 [rh, np.full(rh.shape[:-1] + (h_max - h_i,), MIN_LOG)], axis=-1
             )
-        rh_list.append(rh)
+            rh_list[i] = rh
         counts_list.append(np.asarray(p["sample_read_counts"], float))
         freqs = p.get("frequencies")
         if freqs is None:
@@ -226,6 +269,7 @@ def fit_pedigree_multi(
     parental_pairs, pair_blankets = _kernel.parental_pair_markov_blankets(
         sample_parents, sample_children
     )
+    dtype = _pedigree_dtype()
     sampler, _ = _kernel.make_pedigree_kernels(
         max_ploidy,
         n_samples,
@@ -233,6 +277,7 @@ def fit_pedigree_multi(
         len(parental_pairs),
         sample_parents_np=np.asarray(sample_parents),
         sample_children_np=sample_children,
+        dtype=dtype,
     )
 
     seed = random_seed if random_seed is not None else 0
@@ -242,8 +287,8 @@ def fit_pedigree_multi(
         jnp.asarray(np.asarray(sample_parents)),
         jnp.asarray(sample_children),
         jnp.asarray(np.asarray(gamete_tau)),
-        jnp.asarray(np.asarray(gamete_lambda), jnp.float64),
-        jnp.asarray(np.asarray(gamete_error), jnp.float64),
+        jnp.asarray(np.asarray(gamete_lambda), dtype),
+        jnp.asarray(np.asarray(gamete_error), dtype),
         jnp.asarray(parental_pairs),
         jnp.asarray(pair_blankets),
     )
@@ -274,10 +319,12 @@ def fit_pedigree_multi(
 
     from mchap_tpu.parallel.sharding import problem_mesh, shard_problems
 
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
     mesh = problem_mesh(n_problems)
     _, keys_j, init_j, rh_j, c_j, lf_j, nv_j = shard_problems(
         mesh, n_problems, np.asarray(keys), initial,
-        rh_all, counts_all, log_freqs, n_valid,
+        rh_all.astype(np_dtype), counts_all.astype(np_dtype),
+        log_freqs.astype(np_dtype), n_valid,
     )
     trace = jax.vmap(one)(keys_j, init_j, rh_j, c_j, lf_j, nv_j)
     from mchap_tpu.parallel.sharding import gather_result

@@ -96,15 +96,32 @@ def parental_copies(parent, progeny):
     return jnp.where(first, counts, 0)
 
 
-def _ln_perms(dosage):
-    d = dosage.astype(jnp.float64)
+def _neg(dtype):
+    """Finite large-negative mask value for ``dtype`` log-space math.
+
+    Kept FINITE on purpose (the reference's -inf-free regime): -inf
+    masks turn MH ratio differences into nan.  f32 cannot hold -1e300
+    (it would overflow to -inf), so the f32 fast path uses -1e30.
+    """
+    return -1e300 if jnp.dtype(dtype) == jnp.float64 else -1e30
+
+
+def _tinyf(dtype):
+    """Smallest safe log argument for ``dtype`` (underflow guard)."""
+    return 1e-300 if jnp.dtype(dtype) == jnp.float64 else 1e-30
+
+
+def _ln_perms(dosage, dtype):
+    d = dosage.astype(dtype)
     return jax.lax.lgamma(jnp.sum(d, -1) + 1.0) - jnp.sum(jax.lax.lgamma(d + 1.0), -1)
 
 
 def _log_unknown_dosage_prior(dosage, dlf):
     """Multinomial prior of a dosage of unknown origin (prior.py:121-144)."""
-    d = dosage.astype(jnp.float64)
-    return _ln_perms(dosage) + jnp.sum(jnp.where(dosage > 0, d * dlf, 0.0), -1)
+    d = dosage.astype(dlf.dtype)
+    return _ln_perms(dosage, dlf.dtype) + jnp.sum(
+        jnp.where(dosage > 0, d * dlf, 0.0), -1
+    )
 
 
 def _gamete_log_pmf(gametes, tau, parent_dose, parent_ploidy, lam, comb_lut):
@@ -112,18 +129,23 @@ def _gamete_log_pmf(gametes, tau, parent_dose, parent_ploidy, lam, comb_lut):
 
     gametes: i[K, maxp]; tau/parent_ploidy: traced ints; lam: traced float.
     Reference prior.py:329-373 (incl. double-reduction mixture).
+    ``comb_lut``'s dtype sets the working precision.
     """
+    dtype = comb_lut.dtype
+    lam = jnp.asarray(lam, dtype)
     perms = jnp.prod(comb_lut[parent_dose[None, :], gametes], axis=-1)  # [K]
     denom = jnp.maximum(comb_lut[parent_ploidy, tau], 1.0)
     prob = (perms / denom) * (1.0 - lam)
     # double reduction: gamete = 2 copies of one allele (tau == 2 only)
     is_dr = (jnp.max(gametes, -1) == 2) & (jnp.sum(gametes, -1) == 2)
     dr_allele = jnp.argmax(gametes, -1)
-    dr_perms = jnp.where(is_dr, parent_dose[dr_allele], 0).astype(jnp.float64)
+    dr_perms = jnp.where(is_dr, parent_dose[dr_allele], 0).astype(dtype)
     prob = prob + jnp.where(
         lam > 0.0, (dr_perms / jnp.maximum(parent_ploidy, 1)) * lam, 0.0
     )
-    return jnp.where(prob > 0.0, jnp.log(jnp.maximum(prob, 1e-300)), _NEG)
+    return jnp.where(
+        prob > 0.0, jnp.log(jnp.maximum(prob, _tinyf(dtype))), _neg(dtype)
+    )
 
 
 def trio_log_pmf(
@@ -152,6 +174,14 @@ def trio_log_pmf(
     All of ploidy/tau/lambda/error may be traced.
     """
     maxp = progeny.shape[-1]
+    dtype = log_freqs.dtype
+    _NEG = _neg(dtype)
+    tiny = _tinyf(dtype)
+    err_p = jnp.asarray(err_p, dtype)
+    err_q = jnp.asarray(err_q, dtype)
+    lam_p = jnp.asarray(lam_p, dtype)
+    lam_q = jnp.asarray(lam_q, dtype)
+    comb_lut = jnp.asarray(comb_lut, dtype)
     dosage = padded_dosage(progeny)
     dlf = jnp.where(
         progeny >= 0, log_freqs[jnp.clip(progeny, 0, None)], 0.0
@@ -171,10 +201,10 @@ def trio_log_pmf(
     # clone edges (tau == 0) force the error branch (prior.py:556-557)
     err_p = jnp.where(tau_p == 0, 1.0, err_p)
     err_q = jnp.where(tau_q == 0, 1.0, err_q)
-    lerr_p = jnp.log(jnp.maximum(err_p, 1e-300))
-    lerr_q = jnp.log(jnp.maximum(err_q, 1e-300))
-    lcor_p = jnp.where(err_p < 1.0, jnp.log(jnp.maximum(1.0 - err_p, 1e-300)), _NEG)
-    lcor_q = jnp.where(err_q < 1.0, jnp.log(jnp.maximum(1.0 - err_q, 1e-300)), _NEG)
+    lerr_p = jnp.log(jnp.maximum(err_p, tiny))
+    lerr_q = jnp.log(jnp.maximum(err_q, tiny))
+    lcor_p = jnp.where(err_p < 1.0, jnp.log(jnp.maximum(1.0 - err_p, tiny)), _NEG)
+    lcor_q = jnp.where(err_q < 1.0, jnp.log(jnp.maximum(1.0 - err_q, tiny)), _NEG)
 
     valid_p = (jnp.sum(constraint_p, -1) >= tau_p) & (tau_p > 0) & (err_p < 1.0)
     valid_q = (jnp.sum(constraint_q, -1) >= tau_q) & (tau_q > 0) & (err_q < 1.0)
@@ -250,6 +280,7 @@ def make_pedigree_kernels(
     n_pairs,
     sample_parents_np=None,
     sample_children_np=None,
+    dtype=jnp.float64,
 ):
     """Build the trio/blanket/sampler functions for static pedigree shapes.
 
@@ -261,11 +292,20 @@ def make_pedigree_kernels(
     color pays zero child-trio cost instead of ``max_children`` masked
     evaluations).  Without them the sampler falls back to one color per
     sample — the reference's sequential sweep order.
+
+    ``dtype`` sets the working precision of the trio/llk math.  f64 is
+    the reference-parity default (tests, CPU); the TPU fit paths pass
+    f32 — f64 is software-emulated on TPU, which both multiplies the
+    arithmetic cost ~8x and inflates the lowered program enough to push
+    remote compiles past 25 minutes.  The f32 posterior is gated
+    against the f64 path (tests/test_pedigree_mcmc.py) and against
+    exact enumeration.
     """
     tables_np, valid_np = composition_tables(max_ploidy)
     tables = jnp.asarray(tables_np)
     tables_valid = jnp.asarray(valid_np)
-    comb_lut = jnp.asarray(_COMB_LUT)
+    comb_lut = jnp.asarray(_COMB_LUT, dtype)
+    NEG = _neg(dtype)
 
     if sample_parents_np is None:
         colors = [[i] for i in range(n_samples)]
@@ -320,7 +360,7 @@ def make_pedigree_kernels(
         compiles; the round-3 bench hang).  vmap keeps one traced
         instance AND evaluates the members in parallel on device."""
         if members.shape[0] == 0:
-            return jnp.float64(0.0)
+            return jnp.zeros((), dtype)
         contribs = jax.vmap(
             lambda i: trio_for_sample(jnp.maximum(i, 0), genotypes, ped)
         )(members)
@@ -330,9 +370,13 @@ def make_pedigree_kernels(
         """Self trio + children trios (reference prior.py:725-840).
 
         ``children_row`` is the (possibly color-sliced) padded child
-        list of sample ``s``; width 0 skips the child sum entirely."""
-        total = trio_for_sample(s, genotypes, ped)
-        return total + _masked_trio_sum(children_row, genotypes, ped)
+        list of sample ``s``; width 0 reduces to the self trio alone.
+        Self and children evaluate as ONE vmapped member batch — one
+        traced trio instance per call site, which halves the lowered
+        program vs separate self/children instances (remote compile
+        time is the pedigree path's binding constraint)."""
+        members = jnp.concatenate([s[None], children_row])
+        return _masked_trio_sum(members, genotypes, ped)
 
     def generic_blanket_log_probability(blanket, genotypes, ped):
         """Joint over an explicit padded blanket (prior.py:845-953)."""
@@ -344,8 +388,8 @@ def make_pedigree_kernels(
         sub = rh[:, jnp.clip(genotype, 0, None)]  # [R, maxp]
         mask = (jnp.arange(maxp) < ploidy)[None, :]
         read_log = jax.scipy.special.logsumexp(
-            jnp.where(mask, sub, _NEG), axis=-1
-        ) - jnp.log(ploidy.astype(jnp.float64))
+            jnp.where(mask, sub, NEG), axis=-1
+        ) - jnp.log(ploidy.astype(dtype))
         return counts @ read_log
 
     def _slot_options(s, k, children_row, genotypes, rh_all, counts_all, ped):
@@ -363,10 +407,10 @@ def make_pedigree_kernels(
         keep = (jnp.arange(maxp) != k) & (jnp.arange(maxp) < ploidy)
         sub = rh[:, jnp.clip(g, 0, None)]
         rest = jax.scipy.special.logsumexp(
-            jnp.where(keep[None, :], sub, _NEG), axis=-1
+            jnp.where(keep[None, :], sub, NEG), axis=-1
         )
         cand = jnp.logaddexp(rest[:, None], rh)  # [R, H]
-        llks = counts @ (cand - jnp.log(ploidy.astype(jnp.float64)))  # [H]
+        llks = counts @ (cand - jnp.log(ploidy.astype(dtype)))  # [H]
         options = jnp.broadcast_to(g, (n_alleles, maxp)).at[:, k].set(
             jnp.arange(n_alleles, dtype=g.dtype)
         )
@@ -399,7 +443,7 @@ def make_pedigree_kernels(
         llks, lpriors, counts_other = _slot_options(
             s, k, children_row, genotypes, rh_all, counts_all, ped
         )
-        lmult = jnp.log(counts_other.astype(jnp.float64) + 1.0)
+        lmult = jnp.log(counts_other.astype(dtype) + 1.0)
         logits = jnp.where(
             jnp.arange(n_alleles) < n_valid, llks + lpriors + lmult, -jnp.inf
         )
@@ -426,8 +470,8 @@ def make_pedigree_kernels(
         )
         # proposal ratio: copies of candidate in the proposed genotype /
         # copies of the current allele in the current genotype
-        copies_proposed = (counts_other + 1).astype(jnp.float64)
-        copies_current = (counts_other[cur] + 1).astype(jnp.float64)
+        copies_proposed = (counts_other + 1).astype(dtype)
+        copies_current = (counts_other[cur] + 1).astype(dtype)
         lproposal = jnp.log(copies_proposed) - jnp.log(copies_current)
         mh_ratio = (llks - llks[cur]) + (lpriors - lpriors[cur]) + lproposal
         accept = jnp.exp(jnp.minimum(0.0, mh_ratio))
@@ -464,25 +508,30 @@ def make_pedigree_kernels(
         reversal = (1 + count_allele(genotypes[p], allele_q, ploidy_p)) * (
             1 + count_allele(genotypes[q], allele_p, ploidy_q)
         )
-        lproposal = jnp.log(reversal.astype(jnp.float64)) - jnp.log(
-            jnp.maximum(proposal, 1).astype(jnp.float64)
+        lproposal = jnp.log(reversal.astype(dtype)) - jnp.log(
+            jnp.maximum(proposal, 1).astype(dtype)
         )
-        llk_current = sample_llk(
-            rh_all[p], counts_all[p], genotypes[p], ploidy_p
-        ) + sample_llk(rh_all[q], counts_all[q], genotypes[q], ploidy_q)
-        lprior_current = generic_blanket_log_probability(blanket, genotypes, ped)
         proposed = genotypes.at[p, idx_p].set(allele_q).at[q, idx_q].set(allele_p)
-        llk_proposed = sample_llk(
-            rh_all[p], counts_all[p], proposed[p], ploidy_p
-        ) + sample_llk(rh_all[q], counts_all[q], proposed[q], ploidy_q)
-        lprior_proposed = generic_blanket_log_probability(blanket, proposed, ped)
+        # batch the current/proposed states through ONE traced instance
+        # of the llk and blanket evaluations (program-size discipline:
+        # remote compile time is the pedigree path's binding constraint)
+        states = jnp.stack([genotypes, proposed])  # [2, S, maxp]
+        llks2 = jax.vmap(
+            lambda st: sample_llk(rh_all[p], counts_all[p], st[p], ploidy_p)
+            + sample_llk(rh_all[q], counts_all[q], st[q], ploidy_q)
+        )(states)
+        lpriors2 = jax.vmap(
+            lambda st: generic_blanket_log_probability(blanket, st, ped)
+        )(states)
+        llk_current, llk_proposed = llks2[0], llks2[1]
+        lprior_current, lprior_proposed = lpriors2[0], lpriors2[1]
         log_accept = jnp.minimum(
             0.0,
             (llk_proposed - llk_current)
             + (lprior_proposed - lprior_current)
             + lproposal,
         )
-        u = jax.random.uniform(ka, dtype=jnp.float64)
+        u = jax.random.uniform(ka, dtype=dtype)
         accept = proposes & (u < jnp.exp(log_accept))
         return jnp.where(accept, proposed, genotypes)
 

@@ -194,7 +194,10 @@ def test_parse_pedigree_arguments__defaults(tmp_path):
 
 def test_parse_pedigree_arguments__adds_unsampled_parent(tmp_path):
     p = tmp_path / "ped.txt"
-    p.write_text("S1\tP0\t.\n")
+    # P0 has a pedigree ROW but no bam: it joins the cohort as a dummy
+    # sample (reference arguments.py:1038-1048 — only row samples are
+    # added, never names appearing solely in the parent columns)
+    p.write_text("P0\t.\t.\nS1\tP0\t.\n")
     got = parse_pedigree_arguments(
         samples=["S1"],
         sample_bams={"S1": "B1"},
@@ -204,7 +207,6 @@ def test_parse_pedigree_arguments__adds_unsampled_parent(tmp_path):
         gamete_ibd_argument="0.0",
         gamete_error_argument="0.01",
     )
-    # a parent named only in the pedigree joins the cohort with no bams
     assert got["samples"] == ["S1", "P0"]
     assert got["sample_bams"]["P0"] == []
     assert got["sample_parents"]["S1"] == ("P0", None)

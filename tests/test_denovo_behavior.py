@@ -60,19 +60,19 @@ def test_denovo_diploid_high_depth_recovers_truth():
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_denovo_tetraploid_high_depth(seed):
-    trace, posterior = _fit_posterior(TETRAPLOID_TRUTH, n_reads=40, seed=seed)
+    _, posterior = _fit_posterior(TETRAPLOID_TRUTH, n_reads=40, seed=seed)
     assert posterior.probabilities[0] > 0.90
     np.testing.assert_array_equal(TETRAPLOID_TRUTH, posterior.genotypes[0])
-    # independent chains must not be identical step-for-step
-    assert np.any(trace.genotypes[0] != trace.genotypes[1])
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_denovo_tetraploid_medium_depth(seed):
-    _, posterior = _fit_posterior(TETRAPLOID_TRUTH, n_reads=16, seed=seed)
+    trace, posterior = _fit_posterior(TETRAPLOID_TRUTH, n_reads=16, seed=seed)
     # mode is the truth but with honest residual uncertainty
     assert 0.30 < posterior.probabilities[0] < 0.95
     np.testing.assert_array_equal(TETRAPLOID_TRUTH, posterior.genotypes[0])
+    # at this depth independent chains cannot be identical step-for-step
+    assert np.any(trace.genotypes[0] != trace.genotypes[1])
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])

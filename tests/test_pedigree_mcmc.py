@@ -277,3 +277,50 @@ def test_chromatic_colors_are_valid():
         for a in c:
             for b in c:
                 assert a == b or not adj[a, b]
+
+
+def test_pedigree_f32_matches_f64_posterior(monkeypatch):
+    """The f32 fast path (used on accelerators, where f64 is emulated)
+    must reproduce the f64 reference-parity posterior."""
+    ploidy = 2
+    n_samples = 3
+    parents = np.array([[-1, -1], [-1, -1], [0, 1]])
+    tau = np.full((3, 2), 1)
+    lam = np.zeros((3, 2))
+    err = np.full((3, 2), 0.01)
+    truths = [HAPS[[0, 1]], HAPS[[1, 2]], HAPS[[0, 2]]]
+    reads = [
+        simulate_reads(t, n_alleles=2, n_reads=4, qual=(14, 18), seed=i)
+        for i, t in enumerate(truths)
+    ]
+    max_reads = max(len(r) for r in reads)
+    sample_reads = np.full((n_samples, max_reads, 2, 2), np.nan)
+    sample_counts = np.zeros((n_samples, max_reads))
+    for i, r in enumerate(reads):
+        sample_reads[i, : len(r)] = r
+        sample_counts[i, : len(r)] = 1
+
+    def run(dtype_env):
+        monkeypatch.setenv("MCHAP_PEDIGREE_DTYPE", dtype_env)
+        model = PedigreeCallingMCMC(
+            sample_ploidy=np.full(3, ploidy),
+            sample_parents=parents,
+            gamete_tau=tau,
+            gamete_lambda=lam,
+            gamete_error=err,
+            haplotypes=HAPS,
+            steps=2500,
+            chains=2,
+            random_seed=7,
+        )
+        trace = model.fit(sample_reads, sample_counts).burn(500)
+        return np.stack(
+            [
+                trace.individual(i).posterior().as_array(len(HAPS))
+                for i in range(n_samples)
+            ]
+        )
+
+    p64 = run("f64")
+    p32 = run("f32")
+    np.testing.assert_allclose(p32, p64, atol=0.05)
