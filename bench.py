@@ -66,7 +66,7 @@ DENOVO_LANES = 16384
 # block; its 64-core baseline is exactly 64 loci in flight), and the
 # TPU's win on this sampler is wide-batch throughput, not single-locus
 # latency
-PEDIGREE_LOCI = int(os.environ.get("MCHAP_BENCH_PEDIGREE_LOCI", "256"))
+PEDIGREE_LOCI = int(os.environ.get("MCHAP_BENCH_PEDIGREE_LOCI", "64"))
 PEDIGREE_STEPS = int(os.environ.get("MCHAP_BENCH_PEDIGREE_STEPS", "25"))
 
 V5E_VPU_FLOPS = 3.7e12  # f32 vector peak, v5e (8 sublanes*128 lanes*4*940MHz)

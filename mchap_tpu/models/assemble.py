@@ -293,8 +293,12 @@ def _fit_denovo_batch_pallas(
     # lanes pad to 512/device; at real-data shapes the prepared-reads
     # block caps chunk at 1-2 and padding to 512 would only add dummy
     # lanes that run the full kernel for nothing
-    if len(temperatures) > 1:
-        chunk_cap = 1  # tempered mode replicates tiles over the ladder
+    if len(temperatures) > 1 or interpret:
+        # tempered mode replicates tiles over the ladder; interpret mode
+        # (CPU validation only) keeps padding minimal — wide chunk
+        # padding multiplies the unrolled interpreter program until its
+        # XLA compile takes tens of minutes on a sharded mesh
+        chunk_cap = 1
     else:
         chunk_cap = 1
         for c in (4, 2):
