@@ -625,8 +625,6 @@ def _fit_denovo_core(
                 sampled,
             )
 
-    log_reads = prepare_reads(reads)  # [S, R, nb, A]
-
     # fast path: the VMEM-resident full-step pallas kernel covers the
     # flat-prior configuration on TPU, single-temperature or with a
     # tempering ladder of up to 8 rungs (ladder replicas ride the
@@ -671,8 +669,17 @@ def _fit_denovo_core(
                 alphas = None
             import os as _os
 
+            # host-side numpy read preparation: the jnp version costs an
+            # upload (f64 reads) + fetch (f32 logs) through the remote
+            # tunnel per block; the math is three elementwise ops
+            from mchap_tpu.ops.likelihood import MIN_LOG as _ML
+
+            with np.errstate(divide="ignore", invalid="ignore"):
+                lr_host = np.maximum(
+                    np.log(np.where(np.isnan(reads), 1.0, reads)), _ML
+                ).astype(np.float32)
             traces = _fit_denovo_batch_pallas(
-                np.asarray(prepare_reads(reads, dtype=jnp.float32)),
+                lr_host,
                 counts, init, n_alleles_eff, break_dist, ploidy, steps,
                 chains, seed, recombination_step_probability,
                 partial_dosage_step_probability, dosage_step_probability,
@@ -718,6 +725,11 @@ def _fit_denovo_core(
     # device mesh (placement only; see parallel.sharding)
     from mchap_tpu.parallel.sharding import problem_mesh, shard_problems
 
+    # f64 prepared reads are an XLA-path input only — computed here, not
+    # before the fast-path dispatch (the eager prepare + host fetch cost
+    # seconds per block through the remote tunnel and the pallas path
+    # re-prepares at f32 itself)
+    log_reads = prepare_reads(reads)  # [S, R, nb, A]
     keys = jax.random.split(krun, n_samples)
     mesh = problem_mesh(n_samples)
     _, keys_s, init_s, lr_s, counts_s, na_s, bd_s, ib_s = shard_problems(

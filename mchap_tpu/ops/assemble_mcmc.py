@@ -651,6 +651,8 @@ def snp_posteriors(reads, n_alleles_arr, ploidy, use_prior=False, inbreeding=0.0
         n_reads = 1
         read_counts = None
     table = jnp.asarray(enumerate_genotypes(max_allele, ploidy))  # [G, p]
+    # NOTE: the numpy table returned below is recomputed host-side so
+    # the jitted trace never converts a traced constant
     dosage = jnp.asarray(
         genotype_dosage_table(max_allele, ploidy), dtype
     )  # [G, A]
@@ -665,14 +667,19 @@ def snp_posteriors(reads, n_alleles_arr, ploidy, use_prior=False, inbreeding=0.0
         / ploidy
     )  # [R, nb, G]
     tiny = 1e-300 if dtype == jnp.float64 else 1e-30
-    # the per-read log is dtype-priced (the heavy tensor) but the
-    # reduction over reads accumulates in f64 either way: on deep loci
-    # an f32 running sum can drift enough to flip the >= 0.999
-    # homozygote-fix decision vs the per-sample f64 path
-    read_log = jnp.log(jnp.maximum(probs_rjg, tiny)).astype(jnp.float64)
+    # per-read log at working dtype; the read reduction stays at that
+    # dtype too (XLA reduces tree-wise, so f32 drift over realistic
+    # depths is ~1e-5 in log units — far inside the >= 0.999 fix
+    # threshold's slack) and only the small [nb, G] summary is promoted
+    # to f64.  An f64 [R, nb, G] intermediate here doubled the emulated
+    # op count on TPU and with it the (remote) compile footprint of the
+    # hot batched filter; the einsum's HIGHEST precision above is what
+    # actually protects the decision (default TPU matmul would round
+    # the inputs to bf16).
+    read_log = jnp.log(jnp.maximum(probs_rjg, tiny))
     if read_counts is not None:
         read_log = read_log * jnp.asarray(read_counts, read_log.dtype)[:, None, None]
-    llks = jnp.sum(read_log, axis=0)  # [nb, G] (f64)
+    llks = jnp.sum(read_log, axis=0).astype(jnp.float64)  # [nb, G]
     if use_prior:
         lpriors = jax.vmap(
             lambda n: log_genotype_prior(table, n, inbreeding=inbreeding)
@@ -688,7 +695,15 @@ def snp_posteriors(reads, n_alleles_arr, ploidy, use_prior=False, inbreeding=0.0
     probs = jnp.exp(
         logits - jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
     )
-    return np.asarray(table), probs
+    return enumerate_genotypes(max_allele, ploidy), probs
+
+
+# jitted: the eager form dispatched every primitive separately, which
+# through the remote-device tunnel cost seconds per call (see
+# _hom_batch_probs); one compiled program per (shape, statics) instead
+snp_posteriors = functools.partial(
+    jax.jit, static_argnames=("ploidy", "use_prior", "dtype")
+)(snp_posteriors)
 
 
 def homozygosity_probabilities(reads, n_alleles_arr, ploidy, use_prior=False,
@@ -708,6 +723,34 @@ def homozygosity_probabilities(reads, n_alleles_arr, ploidy, use_prior=False,
         )
     )  # [A]
     return np.asarray(probs)[:, hom_idx]  # [nb, A]
+
+
+@functools.partial(jax.jit, static_argnames=("ploidy", "use_prior"))
+def _hom_batch_probs(reads_b, n_alleles_mat, inbreeding_b, read_counts_b,
+                     *, ploidy, use_prior):
+    """Jitted core of the batched homozygosity filter.
+
+    Module-level jit matters operationally: the vmap alone executed
+    eagerly, one primitive dispatch at a time — ~15 dispatches per
+    locus block through the remote-device tunnel made this filter the
+    single largest e2e stage (~44 s/block for ~30 ms of compute).  One
+    compiled program per (shape, ploidy, use_prior) removes that.
+    """
+
+    def one(reads, n_alleles_arr, inbreeding, read_counts):
+        # f32 on the heavy per-read tensor (emulated f64 on TPU makes
+        # the [S, R, nb, G] product the most expensive program in the
+        # whole batched pipeline); the read-axis reduction and the
+        # normalisation accumulate in f64 inside snp_posteriors, so the
+        # >= 0.999 fix decision sees only per-read rounding, not
+        # accumulated drift, vs the per-sample f64 path
+        _, probs = snp_posteriors(
+            reads, n_alleles_arr, ploidy, use_prior, inbreeding, read_counts,
+            dtype=jnp.float32,
+        )
+        return probs  # [nb, G]
+
+    return jax.vmap(one)(reads_b, n_alleles_mat, inbreeding_b, read_counts_b)
 
 
 def homozygosity_probabilities_batch(reads_b, n_alleles_mat, ploidy,
@@ -734,24 +777,17 @@ def homozygosity_probabilities_batch(reads_b, n_alleles_mat, ploidy,
         reads_b = np.full((n_samples, 1, nb, max_allele), np.nan)
         read_counts_b = np.ones((n_samples, 1))
 
-    def one(reads, n_alleles_arr, inbreeding, read_counts):
-        # f32 on the heavy per-read tensor (emulated f64 on TPU makes
-        # the [S, R, nb, G] product the most expensive program in the
-        # whole batched pipeline); the read-axis reduction and the
-        # normalisation accumulate in f64 inside snp_posteriors, so the
-        # >= 0.999 fix decision sees only per-read rounding, not
-        # accumulated drift, vs the per-sample f64 path
-        _, probs = snp_posteriors(
-            reads, n_alleles_arr, ploidy, use_prior, inbreeding, read_counts,
-            dtype=jnp.float32,
-        )
-        return probs  # [nb, G]
-
-    probs = jax.vmap(one)(
-        jnp.asarray(reads_b),
+    # ship f32 inputs: the screen computes its heavy tensor in f32
+    # anyway, and the f64 reads upload was 2x the bytes through the
+    # remote tunnel (the single most transfer-bound call in the e2e
+    # pipeline)
+    probs = _hom_batch_probs(
+        jnp.asarray(np.asarray(reads_b, np.float32)),
         jnp.asarray(n_alleles_mat),
         jnp.asarray(inbreeding_b, jnp.float64),
-        jnp.asarray(read_counts_b, jnp.float64),
+        jnp.asarray(np.asarray(read_counts_b, np.float32)),
+        ploidy=ploidy,
+        use_prior=use_prior,
     )  # [S, nb, G]
     hom_idx = np.asarray(
         genotype_alleles_as_index(
