@@ -417,7 +417,7 @@ def main():
                 pedigree_base, 1
             )
             extra["pedigree_vs_baseline"] = round(
-                results["pedigree"] / pedigree_base, 2
+                results["pedigree"] / pedigree_base, 5
             )
     for name, err in errors.items():
         extra[f"{name}_error"] = err
