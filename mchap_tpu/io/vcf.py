@@ -53,11 +53,14 @@ def vcfstr(obj, precision=3):
         return "."
     if isinstance(obj, str):
         return obj if obj else "."
-    if isinstance(obj, (float, np.floating)):
+    if isinstance(obj, float):
         # scalar floats go through int(), NOT the textual trim: a scalar
         # -0.0 renders '0' where a float-ARRAY element renders '-0'
         # (reference scalar branch io/vcf/util.py:32-39 vs array branch
-        # :9-16 — an asymmetry the byte contract preserves)
+        # :9-16 — an asymmetry the byte contract preserves).  Matches
+        # ``isinstance(obj, float)`` exactly: np.float64 is a float
+        # subclass and lands here, but an np.float32 scalar falls
+        # through to str() ('1.0') just as in the reference.
         if np.isnan(obj):
             return "."
         r = np.round(obj, precision)

@@ -252,9 +252,13 @@ def _fit_denovo_batch_pallas(
         # consistent allele across chains and ploidy rows (guaranteed by
         # _fit_denovo_core's homozygote fixing); a violating caller
         # would get silently wrong restored genotypes, so check cheaply
-        assert bool(
+        if not bool(
             np.all((init == init[:, :1, :1, :]) | het[:, None, None, :])
-        ), "het compaction: init differs across chains/rows at a fixed position"
+        ):  # ValueError, not assert: survives python -O
+            raise ValueError(
+                "het compaction: init differs across chains/rows at a"
+                " fixed position"
+            )
         fixed_allele_full = init[:, 0, 0, :]  # fixed cols: all rows equal
         lr_fix = np.take_along_axis(
             log_reads, fixed_allele_full[:, None, :, None].astype(np.int64),

@@ -708,7 +708,15 @@ snp_posteriors = functools.partial(
 
 def homozygosity_probabilities(reads, n_alleles_arr, ploidy, use_prior=False,
                                inbreeding=0.0, read_counts=None):
-    """P(homozygous for allele a) per position; mcmc.py:494-541."""
+    """P(homozygous for allele a) per position; mcmc.py:494-541.
+
+    CPU/test-path helper: each distinct ``reads`` shape compiles a
+    fresh ``snp_posteriors`` program, so ragged per-locus shapes on a
+    remote accelerator would pay a multi-minute compile per shape
+    class.  The production TPU pipeline instead calls
+    ``homozygosity_probabilities_batch`` below on padded, shape-
+    bucketed locus blocks (one compile per bucket).
+    """
     import numpy as np
 
     from mchap_tpu.numerics.combinadics import genotype_alleles_as_index

@@ -88,10 +88,11 @@ def tabulate_packed_trace(packed, llks=None, *, ploidy, base, n_cap, burn=0):
     # radix (base_pack**ploidy <= 2**24 in models/assemble.py) but a
     # standalone call with a larger radix/ploidy would silently overflow
     # and corrupt the tabulation — fail loudly instead
-    assert bpos * ploidy <= 30, (
-        f"packed state word needs {bpos * ploidy} bits"
-        " (> 30): radix**ploidy too large for int32 tabulation"
-    )
+    if bpos * ploidy > 30:  # ValueError, not assert: survives python -O
+        raise ValueError(
+            f"packed state word needs {bpos * ploidy} bits"
+            " (> 30): radix**ploidy too large for int32 tabulation"
+        )
 
     # 1. canonical haplotype-row sort per step: ascending lexicographic
     #    with position 0 the most significant key (matching the host

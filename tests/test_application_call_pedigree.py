@@ -8,21 +8,36 @@ from tests.golden import data_path, run_stdout_lines
 
 
 @pytest.mark.parametrize(
-    "cli_extra,output_vcf",
+    "cli_extra,output_vcf,dtype_env",
     [
-        ([], "simple.output.mixed_depth.call-pedigree.p132.vcf"),
+        ([], "simple.output.mixed_depth.call-pedigree.p132.vcf", None),
         (
             ["--gamete-error", "0.5"],
             "simple.output.mixed_depth.call-pedigree.p132.gamerror0.5.vcf",
+            None,
         ),
         # cross-locus batched device path (fit_pedigree_multi)
         (
             ["--locus-batch", "4"],
             "simple.output.mixed_depth.call-pedigree.p132.vcf",
+            None,
+        ),
+        # the f32 fast path (the production dtype on accelerators, where
+        # f64 is software-emulated) must reproduce the f64 golden
+        # DECISIONS even on CPU, where auto would pick f64
+        ([], "simple.output.mixed_depth.call-pedigree.p132.vcf", "f32"),
+        (
+            ["--locus-batch", "4"],
+            "simple.output.mixed_depth.call-pedigree.p132.vcf",
+            "f32",
         ),
     ],
 )
-def test_call_pedigree_decisions_match_golden(cli_extra, output_vcf):
+def test_call_pedigree_decisions_match_golden(
+    cli_extra, output_vcf, dtype_env, monkeypatch
+):
+    if dtype_env is not None:
+        monkeypatch.setenv("MCHAP_PEDIGREE_DTYPE", dtype_env)
     from mchap_tpu.application.call_pedigree import program
 
     command = (

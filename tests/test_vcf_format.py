@@ -65,6 +65,16 @@ def test_vcfstr(obj, expect):
 
 def test_vcfstr_precision_override():
     assert vcf.vcfstr(0.123456, precision=5) == "0.12346"
+
+
+def test_vcfstr_numpy_scalar_parity():
+    """Reference scalar branch is ``isinstance(obj, float)``: np.float64
+    (a float subclass) takes the int-trim path, np.float32 does not and
+    renders via str() (reference io/vcf/util.py:32-41)."""
+    import numpy as np
+
+    assert vcf.vcfstr(np.float64(1.0)) == "1"
+    assert vcf.vcfstr(np.float32(1.0)) == "1.0"
     assert vcf.vcfstr(np.array([0.123456]), precision=1) == "0.1"
 
 
