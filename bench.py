@@ -65,9 +65,10 @@ DENOVO_LANES = 16384
 # tool's data-parallel axis (the reference forks one process per locus
 # block; its 64-core baseline is exactly 64 loci in flight), and the
 # TPU's win on this sampler is wide-batch throughput, not single-locus
-# latency
-PEDIGREE_LOCI = int(os.environ.get("MCHAP_BENCH_PEDIGREE_LOCI", "64"))
-PEDIGREE_STEPS = int(os.environ.get("MCHAP_BENCH_PEDIGREE_STEPS", "25"))
+# latency.  128 loci fill one 128-lane tile of the VMEM-resident
+# pallas kernel (ops/pallas_pedigree.py).
+PEDIGREE_LOCI = int(os.environ.get("MCHAP_BENCH_PEDIGREE_LOCI", "128"))
+PEDIGREE_STEPS = int(os.environ.get("MCHAP_BENCH_PEDIGREE_STEPS", "100"))
 
 V5E_VPU_FLOPS = 3.7e12  # f32 vector peak, v5e (8 sublanes*128 lanes*4*940MHz)
 

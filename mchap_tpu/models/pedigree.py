@@ -20,6 +20,117 @@ from mchap_tpu.ops.likelihood import prepare_reads, read_hap_loglik
 _STEP_TYPES = {"Gibbs": 0, "Metropolis-Hastings": 1}
 
 
+def _pallas_enabled():
+    """Use the VMEM-resident pallas kernel on accelerators.
+
+    ``MCHAP_PEDIGREE_PALLAS={auto,1,0}``: auto selects it whenever the
+    default backend is not CPU (the kernel's PRNG has no CPU lowering);
+    1 forces it (interpret mode on CPU — tests only); 0 disables.
+    """
+    import os
+
+    env = os.environ.get("MCHAP_PEDIGREE_PALLAS", "auto").strip().lower()
+    if env in ("0", "off", "false"):
+        return False
+    if env in ("1", "on", "true", "force"):
+        return True
+    return jax.default_backend() != "cpu"
+
+
+def _fit_pallas_multi(rh_all, counts_all, freq_rows, n_valid, initial, plan,
+                      steps, chains, seed, burn, interpret=False,
+                      mesh="auto"):
+    """Run many (locus, chain) pedigree problems through the pallas
+    kernel, one 128-wide lane per (problem, chain).
+
+    rh_all: f[B, S, R, H]; counts_all: f[B, S, R]; freq_rows: f[B, H]
+    (LINEAR frequencies); n_valid: i[B]; initial: i[B, S, maxp].
+    Returns the raw trace i[B, chains, kept_steps, S, maxp] (burn
+    sliced and downcast on device — only kept steps cross the link).
+    """
+    from mchap_tpu.ops.pallas_pedigree import pallas_pedigree_sampler
+    from mchap_tpu.parallel.sharding import lane_mesh
+
+    if jax.default_backend() == "cpu":
+        interpret = True  # no Mosaic lowering on CPU (forced/test runs)
+    if mesh == "auto":
+        mesh = lane_mesh()
+    n_shards = 1 if mesh is None else mesh.devices.size
+
+    n_problems, n_samples, n_reads, n_haps = rh_all.shape
+    maxp = initial.shape[-1]
+    b = n_problems * chains
+    granule = 128 * n_shards
+    b_pad = ((b + granule - 1) // granule) * granule
+
+    def lane_last(a):
+        # [B, ...] -> [..., B*chains], padded by repeating the last
+        # problem (a real, convergent program — never degenerate)
+        a = np.repeat(np.moveaxis(np.asarray(a), 0, -1), chains, axis=-1)
+        if b_pad != b:
+            a = np.concatenate(
+                [a] + [a[..., -1:]] * (b_pad - b), axis=-1
+            )
+        return a
+
+    rh_l = jnp.asarray(lane_last(rh_all), jnp.float32)
+    counts_l = jnp.asarray(lane_last(counts_all), jnp.float32)
+    freqs_l = jnp.asarray(lane_last(freq_rows), jnp.float32)
+    nv_l = jnp.asarray(lane_last(np.asarray(n_valid, np.int32)), jnp.int32)
+    init_l = jnp.asarray(lane_last(np.asarray(initial, np.int32)), jnp.int32)
+    small = jnp.int8 if n_haps <= 127 else jnp.int16
+
+    def _run(seed_arr, rh, c, fr, nv, init):
+        tr = pallas_pedigree_sampler(
+            seed_arr, rh, c, fr, nv, init,
+            plan=plan, n_steps=steps, interpret=interpret,
+        )
+        return tr[burn:].astype(small)
+
+    if mesh is None:
+        trace = _run(jnp.int32(seed), rh_l, counts_l, freqs_l, nv_l, init_l)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        local_tiles = (b_pad // n_shards) // 128
+
+        def _body(rh, c, fr, nv, init):
+            d = jax.lax.axis_index("lanes").astype(jnp.int32)
+            seed_local = jnp.int32(seed) + d * jnp.int32(local_tiles * steps)
+            return _run(seed_local, rh, c, fr, nv, init)
+
+        trace = jax.shard_map(
+            _body,
+            mesh=mesh,
+            in_specs=(
+                P(None, None, None, "lanes"),
+                P(None, None, "lanes"),
+                P(None, "lanes"),
+                P("lanes"),
+                P(None, None, "lanes"),
+            ),
+            out_specs=P(None, None, None, "lanes"),
+            check_vma=False,
+        )(rh_l, counts_l, freqs_l, nv_l, init_l)
+    trace = np.asarray(trace)[..., :b]  # [kept, S, maxp, B*chains]
+    kept = trace.shape[0]
+    trace = trace.reshape(kept, n_samples, maxp, n_problems, chains)
+    return trace.transpose(3, 4, 0, 1, 2)  # [B, chains, kept, S, maxp]
+
+
+def _sort_roll_trace(trace, sample_ploidy, max_ploidy):
+    """Sort each genotype, rolling the -1 padding of lower-ploidy
+    samples to the front (reference mcmc.py:807-813)."""
+    trace = np.sort(trace, axis=-1)
+    for j in range(len(sample_ploidy)):
+        ploidy = int(sample_ploidy[j])
+        if ploidy < max_ploidy:
+            trace[..., j, :] = np.roll(
+                trace[..., j, :], ploidy - max_ploidy, axis=-1
+            )
+    return trace
+
+
 def _pedigree_dtype():
     """Working precision for the pedigree sampler.
 
@@ -106,6 +217,37 @@ class PedigreeCallingMCMC:
                 initial[i, :ploidy] = genotype
         else:
             initial = np.asarray(initial, np.int32)
+
+        # fast path: the VMEM-resident pallas kernel (Gibbs, lambda == 0)
+        if self.step_type == "Gibbs" and _pallas_enabled():
+            from mchap_tpu.ops import pallas_pedigree as _pp
+            from mchap_tpu.utils import fallback as _fallback
+
+            try:
+                plan = _pp.make_plan(
+                    sample_ploidy, sample_parents, self.gamete_tau,
+                    self.gamete_lambda, self.gamete_error,
+                    swap_parental_alleles=self.swap_parental_alleles,
+                )
+                trace = _fit_pallas_multi(
+                    np.asarray(rh_all, np.float32)[None],
+                    np.asarray(sample_read_counts, np.float32)[None],
+                    np.exp(log_freqs)[None],
+                    np.array([n_haps]),
+                    initial[None],
+                    plan, self.steps, self.chains, seed, burn=0,
+                )[0]
+                _fallback.note_path("pedigree", "pallas")
+                trace = _sort_roll_trace(
+                    trace, sample_ploidy, max_ploidy
+                ).astype(np.int16)
+                return PedigreeAllelesMultiTrace(trace, n_allele=n_haps)
+            except _pp.UnsupportedPedigree as e:
+                _fallback.note_path(
+                    "pedigree", f"xla (pallas unsupported: {e})"
+                )
+            except Exception as e:  # noqa: BLE001 — reported, strict-gated
+                _fallback.note_fallback("pedigree", e, to="xla")
 
         sample_children = _kernel.sample_children_matrix(sample_parents)
         parental_pairs, pair_blankets = _kernel.parental_pair_markov_blankets(
@@ -264,6 +406,39 @@ def fit_pedigree_multi(
         np.asarray(greedy, np.int32),
         -1,
     )
+
+    # fast path: the VMEM-resident pallas kernel with one lane per
+    # (locus, chain); Gibbs-only, lambda == 0 (make_plan validates)
+    if step_type == "Gibbs" and _pallas_enabled():
+        from mchap_tpu.ops import pallas_pedigree as _pp
+        from mchap_tpu.utils import fallback as _fallback
+
+        try:
+            plan = _pp.make_plan(
+                sample_ploidy, sample_parents, gamete_tau, gamete_lambda,
+                gamete_error,
+                swap_parental_alleles=swap_parental_alleles,
+            )
+            trace = _fit_pallas_multi(
+                rh_all, counts_all, np.stack(freq_rows), n_valid, initial,
+                plan, steps, chains, random_seed or 0, burn,
+            )
+            _fallback.note_path("pedigree", "pallas")
+            trace = _sort_roll_trace(trace, sample_ploidy, max_ploidy)
+            return [
+                PedigreeAllelesMultiTrace(
+                    trace[i], n_allele=int(n_valid[i]), pre_burned=burn
+                )
+                for i in range(n_problems)
+            ]
+        except _pp.UnsupportedPedigree as e:
+            _fallback.note_path("pedigree", f"xla (pallas unsupported: {e})")
+        except Exception as e:  # noqa: BLE001 — reported, strict-gated
+            _fallback.note_fallback("pedigree", e, to="xla")
+    else:
+        from mchap_tpu.utils import fallback as _fallback
+
+        _fallback.note_path("pedigree", "xla")
 
     sample_children = _kernel.sample_children_matrix(sample_parents)
     parental_pairs, pair_blankets = _kernel.parental_pair_markov_blankets(

@@ -42,6 +42,7 @@ def main():
     for script in (
         "gate_pallas_denovo.py",
         "gate_pallas_calling.py",
+        "gate_pallas_pedigree.py",
         "gate_assemble_tpu.py",
     ):
         res = run(script)

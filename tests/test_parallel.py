@@ -296,3 +296,52 @@ def test_pooled_info_collectives_match_host_formulas():
         np.testing.assert_allclose(
             got_snvdp[locus], snvdp[sel].sum(0), rtol=1e-9
         )
+
+
+def test_fit_pedigree_multi_sharded_matches_single_device(monkeypatch):
+    """Placement must not change pedigree results: the XLA pedigree fit
+    path sharded over the 8-virtual-device "loci" mesh reproduces the
+    single-device traces element-wise (the pedigree analogue of the
+    calling/denovo A/B above; reference process-parallelism is uniform
+    across tools, baseclass.py:360-394)."""
+    from mchap_tpu.models.pedigree import fit_pedigree_multi
+    from mchap_tpu.testing import simulate_reads
+
+    haps = np.array([[0, 0], [0, 1], [1, 1]], np.int8)
+    parents = np.array([[-1, -1], [-1, -1], [0, 1]])
+    rng = np.random.default_rng(5)
+    problems = []
+    for i in range(5):
+        truths = haps[rng.integers(0, len(haps), (3, 2))]
+        reads = np.stack(
+            [
+                simulate_reads(
+                    haps[rng.integers(0, len(haps), 2)], n_alleles=2,
+                    n_reads=6, errors=False, seed=10 * i + j,
+                )
+                for j in range(3)
+            ]
+        )
+        problems.append(
+            dict(
+                sample_reads=reads,
+                sample_read_counts=np.ones((3, reads.shape[1]), int),
+                haplotypes=haps,
+            )
+        )
+    kwargs = dict(
+        sample_ploidy=np.full(3, 2),
+        sample_parents=parents,
+        gamete_tau=np.full((3, 2), 1),
+        gamete_lambda=np.zeros((3, 2)),
+        gamete_error=np.full((3, 2), 0.01),
+        steps=20,
+        chains=2,
+        random_seed=11,
+    )
+    monkeypatch.setenv("MCHAP_SHARD", "0")
+    single = fit_pedigree_multi(problems, **kwargs)
+    monkeypatch.setenv("MCHAP_SHARD", "auto")
+    sharded = fit_pedigree_multi(problems, **kwargs)
+    for a, b in zip(single, sharded):
+        np.testing.assert_array_equal(a.genotypes, b.genotypes)
