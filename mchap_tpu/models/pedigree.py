@@ -44,10 +44,14 @@ def _fit_pallas_multi(rh_all, counts_all, freq_rows, n_valid, initial, plan,
     kernel, one 128-wide lane per (problem, chain).
 
     rh_all: f[B, S, R, H]; counts_all: f[B, S, R]; freq_rows: f[B, H]
-    (LINEAR frequencies); n_valid: i[B]; initial: i[B, S, maxp].
+    (LINEAR frequencies); n_valid: i[B]; initial: i[B, S, maxp] or None
+    — None computes the greedy initial genotypes ON DEVICE inside the
+    same program as the sampler (one upload, one dispatch; the host
+    greedy used to cost a second full rh transfer through the tunnel).
     Returns the raw trace i[B, chains, kept_steps, S, maxp] (burn
     sliced and downcast on device — only kept steps cross the link).
     """
+    from mchap_tpu.ops.calling_mcmc import greedy_caller
     from mchap_tpu.ops.pallas_pedigree import pallas_pedigree_sampler
     from mchap_tpu.parallel.sharding import lane_mesh
 
@@ -58,7 +62,7 @@ def _fit_pallas_multi(rh_all, counts_all, freq_rows, n_valid, initial, plan,
     n_shards = 1 if mesh is None else mesh.devices.size
 
     n_problems, n_samples, n_reads, n_haps = rh_all.shape
-    maxp = initial.shape[-1]
+    maxp = plan.max_ploidy
     b = n_problems * chains
     granule = 128 * n_shards
     b_pad = ((b + granule - 1) // granule) * granule
@@ -77,10 +81,36 @@ def _fit_pallas_multi(rh_all, counts_all, freq_rows, n_valid, initial, plan,
     counts_l = jnp.asarray(lane_last(counts_all), jnp.float32)
     freqs_l = jnp.asarray(lane_last(freq_rows), jnp.float32)
     nv_l = jnp.asarray(lane_last(np.asarray(n_valid, np.int32)), jnp.int32)
-    init_l = jnp.asarray(lane_last(np.asarray(initial, np.int32)), jnp.int32)
+    init_l = (
+        None
+        if initial is None
+        else jnp.asarray(lane_last(np.asarray(initial, np.int32)), jnp.int32)
+    )
     small = jnp.int8 if n_haps <= 127 else jnp.int16
+    ploidy_col = jnp.asarray(plan.sample_ploidy, jnp.int32)[:, None]
+
+    def _greedy_init(rh, c, nv):
+        """Per-(sample, lane) greedy genotypes at max_ploidy, masked to
+        each sample's true ploidy (greedy is prefix-consistent: the
+        first p slot choices never depend on the total ploidy)."""
+        per_lane = jax.vmap(
+            lambda rh1, c1, nv1: greedy_caller(
+                rh1, c1, ploidy=maxp, n_valid=nv1
+            ),
+            in_axes=(2, 1, 0),
+        )
+        g = jax.vmap(per_lane, in_axes=(0, 0, None))(rh, c, nv)  # [S,L,maxp]
+        g = jnp.transpose(g, (0, 2, 1))  # [S, maxp, L]
+        return jnp.where(
+            jnp.arange(maxp, dtype=jnp.int32)[None, :, None]
+            < ploidy_col[:, :, None],
+            g,
+            -1,
+        )
 
     def _run(seed_arr, rh, c, fr, nv, init):
+        if init is None:
+            init = _greedy_init(rh, c, nv)
         tr = pallas_pedigree_sampler(
             seed_arr, rh, c, fr, nv, init,
             plan=plan, n_steps=steps, interpret=interpret,
@@ -88,34 +118,83 @@ def _fit_pallas_multi(rh_all, counts_all, freq_rows, n_valid, initial, plan,
         return tr[burn:].astype(small)
 
     if mesh is None:
-        trace = _run(jnp.int32(seed), rh_l, counts_l, freqs_l, nv_l, init_l)
+        if init_l is None:
+            run_jit = jax.jit(
+                lambda s_, rh, c, fr, nv: _run(s_, rh, c, fr, nv, None)
+            )
+            trace = run_jit(jnp.int32(seed), rh_l, counts_l, freqs_l, nv_l)
+        else:
+            trace = jax.jit(_run)(
+                jnp.int32(seed), rh_l, counts_l, freqs_l, nv_l, init_l
+            )
     else:
         from jax.sharding import PartitionSpec as P
 
         local_tiles = (b_pad // n_shards) // 128
 
-        def _body(rh, c, fr, nv, init):
+        def _body(rh, c, fr, nv, *init_opt):
             d = jax.lax.axis_index("lanes").astype(jnp.int32)
             seed_local = jnp.int32(seed) + d * jnp.int32(local_tiles * steps)
+            init = init_opt[0] if init_opt else None
             return _run(seed_local, rh, c, fr, nv, init)
 
+        in_specs = [
+            P(None, None, None, "lanes"),
+            P(None, None, "lanes"),
+            P(None, "lanes"),
+            P("lanes"),
+        ]
+        args = [rh_l, counts_l, freqs_l, nv_l]
+        if init_l is not None:
+            in_specs.append(P(None, None, "lanes"))
+            args.append(init_l)
         trace = jax.shard_map(
             _body,
             mesh=mesh,
-            in_specs=(
-                P(None, None, None, "lanes"),
-                P(None, None, "lanes"),
-                P(None, "lanes"),
-                P("lanes"),
-                P(None, None, "lanes"),
-            ),
+            in_specs=tuple(in_specs),
             out_specs=P(None, None, None, "lanes"),
             check_vma=False,
-        )(rh_l, counts_l, freqs_l, nv_l, init_l)
+        )(*args)
     trace = np.asarray(trace)[..., :b]  # [kept, S, maxp, B*chains]
     kept = trace.shape[0]
     trace = trace.reshape(kept, n_samples, maxp, n_problems, chains)
     return trace.transpose(3, 4, 0, 1, 2)  # [B, chains, kept, S, maxp]
+
+
+def _assemble_problems_np(problems, h_max):
+    """Host-side (numpy) problem-batch assembly for the pallas path:
+    per-problem read-hap matrices padded to a common [B, S, R, H] block
+    (panel padding MIN_LOG, read bucket power-of-two), plus counts,
+    LINEAR frequency rows (padding 0) and per-problem panel sizes."""
+    from mchap_tpu.ops.likelihood import MIN_LOG, read_hap_loglik_np
+
+    rh_list = [
+        read_hap_loglik_np(p["sample_reads"], p["haplotypes"])
+        for p in problems
+    ]
+    max_r = max(rh.shape[1] for rh in rh_list)
+    bucket = 8
+    while bucket < max_r:
+        bucket *= 2
+    n_problems = len(problems)
+    n_samples = rh_list[0].shape[0]
+    rh_all = np.full((n_problems, n_samples, bucket, h_max), MIN_LOG,
+                     np.float32)
+    counts_all = np.zeros((n_problems, n_samples, bucket), np.float32)
+    freq_rows = np.zeros((n_problems, h_max), np.float32)
+    n_valid = np.zeros(n_problems, np.int32)
+    for i, p in enumerate(problems):
+        rh = rh_list[i]
+        c = np.asarray(p["sample_read_counts"], np.float32)
+        h_i = rh.shape[-1]
+        rh_all[i, :, : rh.shape[1], :h_i] = rh
+        counts_all[i, :, : c.shape[1]] = c
+        freqs = p.get("frequencies")
+        if freqs is None:
+            freqs = np.full(h_i, 1.0 / h_i)
+        freq_rows[i, :h_i] = freqs
+        n_valid[i] = h_i
+    return rh_all, counts_all, freq_rows, n_valid
 
 
 def _sort_roll_trace(trace, sample_ploidy, max_ploidy):
@@ -194,6 +273,44 @@ class PedigreeCallingMCMC:
                 log_freqs = np.log(np.asarray(self.frequencies, float))
             assert len(log_freqs) == n_haps
 
+        seed = self.random_seed if self.random_seed is not None else 0
+
+        # fast path: the VMEM-resident pallas kernel (Gibbs, lambda==0),
+        # taken before any device work — host-side read-hap matrix, one
+        # upload, greedy initial fused into the device program
+        if self.step_type == "Gibbs" and _pallas_enabled():
+            from mchap_tpu.ops import pallas_pedigree as _pp
+            from mchap_tpu.ops.likelihood import read_hap_loglik_np
+            from mchap_tpu.utils import fallback as _fallback
+
+            try:
+                plan = _pp.make_plan(
+                    sample_ploidy, sample_parents, self.gamete_tau,
+                    self.gamete_lambda, self.gamete_error,
+                    swap_parental_alleles=self.swap_parental_alleles,
+                )
+                rh_np = read_hap_loglik_np(sample_reads, haplotypes)
+                trace = _fit_pallas_multi(
+                    rh_np[None],
+                    np.asarray(sample_read_counts, np.float32)[None],
+                    np.exp(log_freqs)[None],
+                    np.array([n_haps]),
+                    None if initial is None
+                    else np.asarray(initial, np.int32)[None],
+                    plan, self.steps, self.chains, seed, burn=0,
+                )[0]
+                _fallback.note_path("pedigree", "pallas")
+                trace = _sort_roll_trace(
+                    trace, sample_ploidy, max_ploidy
+                ).astype(np.int16)
+                return PedigreeAllelesMultiTrace(trace, n_allele=n_haps)
+            except _pp.UnsupportedPedigree as e:
+                _fallback.note_path(
+                    "pedigree", f"xla (pallas unsupported: {e})"
+                )
+            except Exception as e:  # noqa: BLE001 — reported, strict-gated
+                _fallback.note_fallback("pedigree", e, to="xla")
+
         dtype = _pedigree_dtype()
         # one read-hap matrix for the whole pedigree (single MXU matmul)
         log_reads = prepare_reads(np.asarray(sample_reads, float))
@@ -202,7 +319,6 @@ class PedigreeCallingMCMC:
         )  # [S, R, H]
         counts_all = jnp.asarray(sample_read_counts, dtype)
 
-        seed = self.random_seed if self.random_seed is not None else 0
         key = jax.random.PRNGKey(seed)
 
         if initial is None:
@@ -217,37 +333,6 @@ class PedigreeCallingMCMC:
                 initial[i, :ploidy] = genotype
         else:
             initial = np.asarray(initial, np.int32)
-
-        # fast path: the VMEM-resident pallas kernel (Gibbs, lambda == 0)
-        if self.step_type == "Gibbs" and _pallas_enabled():
-            from mchap_tpu.ops import pallas_pedigree as _pp
-            from mchap_tpu.utils import fallback as _fallback
-
-            try:
-                plan = _pp.make_plan(
-                    sample_ploidy, sample_parents, self.gamete_tau,
-                    self.gamete_lambda, self.gamete_error,
-                    swap_parental_alleles=self.swap_parental_alleles,
-                )
-                trace = _fit_pallas_multi(
-                    np.asarray(rh_all, np.float32)[None],
-                    np.asarray(sample_read_counts, np.float32)[None],
-                    np.exp(log_freqs)[None],
-                    np.array([n_haps]),
-                    initial[None],
-                    plan, self.steps, self.chains, seed, burn=0,
-                )[0]
-                _fallback.note_path("pedigree", "pallas")
-                trace = _sort_roll_trace(
-                    trace, sample_ploidy, max_ploidy
-                ).astype(np.int16)
-                return PedigreeAllelesMultiTrace(trace, n_allele=n_haps)
-            except _pp.UnsupportedPedigree as e:
-                _fallback.note_path(
-                    "pedigree", f"xla (pallas unsupported: {e})"
-                )
-            except Exception as e:  # noqa: BLE001 — reported, strict-gated
-                _fallback.note_fallback("pedigree", e, to="xla")
 
         sample_children = _kernel.sample_children_matrix(sample_parents)
         parental_pairs, pair_blankets = _kernel.parental_pair_markov_blankets(
@@ -335,6 +420,47 @@ def fit_pedigree_multi(
     max_ploidy = int(sample_ploidy.max())
     h_max = max(len(p["haplotypes"]) for p in problems)
 
+    # fast path: the VMEM-resident pallas kernel with one lane per
+    # (locus, chain) — Gibbs-only, lambda == 0 (make_plan validates).
+    # Taken BEFORE any device work: the read-hap matrices are computed
+    # host-side (numpy) and uploaded exactly once, and the greedy
+    # initial states are fused into the sampler's own device program —
+    # through the remote tunnel the transfers this avoids used to cost
+    # ~30x the kernel itself at production locus batches.
+    if step_type == "Gibbs" and _pallas_enabled():
+        from mchap_tpu.ops import pallas_pedigree as _pp
+        from mchap_tpu.utils import fallback as _fallback
+
+        try:
+            plan = _pp.make_plan(
+                sample_ploidy, sample_parents, gamete_tau, gamete_lambda,
+                gamete_error,
+                swap_parental_alleles=swap_parental_alleles,
+            )
+            rh_np, counts_np, freq_np, nv_np = _assemble_problems_np(
+                problems, h_max
+            )
+            trace = _fit_pallas_multi(
+                rh_np, counts_np, freq_np, nv_np, None, plan, steps,
+                chains, random_seed or 0, burn,
+            )
+            _fallback.note_path("pedigree", "pallas")
+            trace = _sort_roll_trace(trace, sample_ploidy, max_ploidy)
+            return [
+                PedigreeAllelesMultiTrace(
+                    trace[i], n_allele=int(nv_np[i]), pre_burned=burn
+                )
+                for i in range(n_problems)
+            ]
+        except _pp.UnsupportedPedigree as e:
+            _fallback.note_path("pedigree", f"xla (pallas unsupported: {e})")
+        except Exception as e:  # noqa: BLE001 — reported, strict-gated
+            _fallback.note_fallback("pedigree", e, to="xla")
+    else:
+        from mchap_tpu.utils import fallback as _fallback
+
+        _fallback.note_path("pedigree", "xla")
+
     # read-hap matrices: group same-shaped problems and run ONE
     # prepare+matmul dispatch per group — per-problem dispatches cost a
     # device round trip each, which dominates wall-clock through the
@@ -406,39 +532,6 @@ def fit_pedigree_multi(
         np.asarray(greedy, np.int32),
         -1,
     )
-
-    # fast path: the VMEM-resident pallas kernel with one lane per
-    # (locus, chain); Gibbs-only, lambda == 0 (make_plan validates)
-    if step_type == "Gibbs" and _pallas_enabled():
-        from mchap_tpu.ops import pallas_pedigree as _pp
-        from mchap_tpu.utils import fallback as _fallback
-
-        try:
-            plan = _pp.make_plan(
-                sample_ploidy, sample_parents, gamete_tau, gamete_lambda,
-                gamete_error,
-                swap_parental_alleles=swap_parental_alleles,
-            )
-            trace = _fit_pallas_multi(
-                rh_all, counts_all, np.stack(freq_rows), n_valid, initial,
-                plan, steps, chains, random_seed or 0, burn,
-            )
-            _fallback.note_path("pedigree", "pallas")
-            trace = _sort_roll_trace(trace, sample_ploidy, max_ploidy)
-            return [
-                PedigreeAllelesMultiTrace(
-                    trace[i], n_allele=int(n_valid[i]), pre_burned=burn
-                )
-                for i in range(n_problems)
-            ]
-        except _pp.UnsupportedPedigree as e:
-            _fallback.note_path("pedigree", f"xla (pallas unsupported: {e})")
-        except Exception as e:  # noqa: BLE001 — reported, strict-gated
-            _fallback.note_fallback("pedigree", e, to="xla")
-    else:
-        from mchap_tpu.utils import fallback as _fallback
-
-        _fallback.note_path("pedigree", "xla")
 
     sample_children = _kernel.sample_children_matrix(sample_parents)
     parental_pairs, pair_blankets = _kernel.parental_pair_markov_blankets(

@@ -76,6 +76,29 @@ def read_hap_loglik(log_reads, haplotypes):
     )
 
 
+def read_hap_loglik_np(reads, haplotypes, dtype="float32"):
+    """Host (numpy) ``prepare_reads`` + ``read_hap_loglik`` in one step.
+
+    Used by fit paths whose next stop is host-side lane packing (the
+    pallas pedigree path): computing the [R, H] matrix on host avoids a
+    device round trip — through a remote-TPU tunnel the two transfers
+    it replaces cost ~100x the einsum.  f32 by default to match the
+    kernels' working precision.
+    """
+    import numpy as np
+
+    reads = np.asarray(reads, dtype)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        logs = np.log(np.where(np.isnan(reads), 1.0, reads))
+    logs = np.maximum(logs, MIN_LOG)
+    haplotypes = np.asarray(haplotypes)
+    n_alleles = reads.shape[-1]
+    onehot = (
+        haplotypes[..., None] == np.arange(n_alleles)
+    ).astype(dtype)  # [K, P, A]; null (<0) alleles select no column
+    return np.einsum("...rpa,kpa->...rk", logs, onehot)
+
+
 def log_likelihood_from_read_hap(read_hap, genotype, read_counts=None):
     """llk of a genotype given the precomputed read x haplotype matrix.
 

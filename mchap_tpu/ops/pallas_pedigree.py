@@ -143,6 +143,7 @@ class _Plan:
         n = len(ploidy)
         self.n_samples = n
         self.max_ploidy = int(ploidy.max())
+        self.sample_ploidy = ploidy.copy()
 
         if np.any(lam != 0.0):
             raise UnsupportedPedigree("gamete_lambda != 0 (double reduction)")
