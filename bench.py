@@ -270,10 +270,47 @@ def measure_xla_calling(b, steps, repeats=2):
     return b * 2 * steps / best
 
 
+def measure_e2e():
+    """Full ``mchap assemble`` pipeline over the realistic 22-sample
+    bi-parental example (20 loci, 866 SNVs, 1000 steps x 2 chains):
+    loci/s including IO/encode/VCF (BASELINE config, scripts/bench_e2e).
+    Writes the output VCF for the call-pedigree e2e workload."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    import bench_e2e
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_vcf = os.path.join(here, ".build", "e2e_assemble.vcf")
+    os.makedirs(os.path.dirname(out_vcf), exist_ok=True)
+    dt, n_loci = bench_e2e.run_assemble(1000, 500, out_vcf=out_vcf)
+    return n_loci / dt
+
+
+def measure_pedigree_e2e():
+    """Full ``mchap call-pedigree`` pipeline over the same example
+    (22-sample bi-parental pedigree, 20 loci) against the assemble
+    workload's haplotype calls: loci/s end-to-end (BASELINE config #5,
+    first timed round 5)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    import bench_e2e
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    hap_vcf = os.path.join(here, ".build", "e2e_assemble.vcf")
+    if not os.path.exists(hap_vcf):
+        bench_e2e.run_assemble(500, 250, out_vcf=hap_vcf)
+    dt, n_loci = bench_e2e.run_call_pedigree(hap_vcf, 1000, 500)
+    return n_loci / dt
+
+
 WORKLOADS = {
     "denovo": lambda: measure_pallas_denovo(DENOVO_LANES, DENOVO_STEPS),
     "calling": lambda: measure_pallas_calling(CALLING_LANES, CALLING_STEPS),
     "pedigree": lambda: measure_pedigree(PEDIGREE_LOCI, PEDIGREE_STEPS),
+    "e2e": measure_e2e,
+    "pedigree_e2e": measure_pedigree_e2e,
     "xla_calling": lambda: measure_xla_calling(32, 50, repeats=1),
 }
 
@@ -286,6 +323,8 @@ CHILD_TIMEOUT = {
     "denovo": 900,
     "calling": 700,
     "pedigree": 900,
+    "e2e": 900,
+    "pedigree_e2e": 900,
     "xla_calling": 600,
 }
 
@@ -362,12 +401,17 @@ def main():
             json.dump({"results": results, "errors": errors}, fh)
 
     if on_tpu:
-        order = ["denovo", "calling", "pedigree"]
+        order = ["denovo", "calling", "pedigree", "e2e", "pedigree_e2e"]
     else:
         order = ["xla_calling"]
     if os.environ.get("MCHAP_BENCH_PEDIGREE", "1") == "0" and "pedigree" in order:
         order.remove("pedigree")
         errors["pedigree"] = "skipped (MCHAP_BENCH_PEDIGREE=0)"
+    for name in os.environ.get("MCHAP_BENCH_SKIP", "").split(","):
+        name = name.strip()
+        if name and name in order:
+            order.remove(name)
+            errors[name] = "skipped (MCHAP_BENCH_SKIP)"
 
     for name in order:
         remaining = deadline - time.monotonic()
@@ -416,6 +460,10 @@ def main():
         extra["denovo_vpu_utilization"] = round(
             results["denovo"] * DENOVO_FLOPS_PER_STEP / V5E_VPU_FLOPS, 4
         )
+    if "e2e" in results:
+        extra["e2e_loci_per_s"] = round(results["e2e"], 4)
+    if "pedigree_e2e" in results:
+        extra["pedigree_e2e_loci_per_s"] = round(results["pedigree_e2e"], 4)
     if "pedigree" in results:
         extra["pedigree_compound_steps_per_s"] = round(results["pedigree"], 1)
         if oracle and "pedigree_steps_per_s_1core" in oracle:

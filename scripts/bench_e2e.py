@@ -77,19 +77,26 @@ def reconstruct_fasta(out_path, bed_path, bams, vcf_gz):
         f.write(f"{CONTIG}\t{CONTIG_LEN}\t{offset}\t{LINE}\t{LINE + 1}\n")
 
 
-def main():
-    import jax
-
+def ensure_fasta(fasta="/tmp/mchap_bench_chr1.fa"):
+    """Reconstruct (once) and return the example's reference FASTA."""
     bams = sorted(glob.glob(str(INPUT / "bam" / "*.bam")))
     bed = str(INPUT / "bed" / "targets20.bed")
     vcf = str(INPUT / "vcf" / "snvs.vcf.gz")
-    fasta = "/tmp/mchap_bench_chr1.fa"
     if not os.path.exists(fasta):
         t0 = time.time()
         reconstruct_fasta(fasta, bed, bams, vcf)
         print(f"# reconstructed FASTA in {time.time() - t0:.1f}s",
               file=sys.stderr)
+    return bams, bed, vcf, fasta
 
+
+def run_assemble(steps=1000, burn=500, out_vcf=None):
+    """Full ``mchap assemble`` over the realistic 22-sample example;
+    returns (wall_seconds, n_loci).  Writes the output VCF to
+    ``out_vcf`` when given (feeds the call-pedigree e2e workload)."""
+    import contextlib
+
+    bams, bed, vcf, fasta = ensure_fasta()
     from mchap_tpu.application.assemble import program
 
     command = (
@@ -100,15 +107,13 @@ def main():
             "--targets", bed,
             "--variants", vcf,
             "--reference", fasta,
-            "--mcmc-steps", "1000",
-            "--mcmc-burn", "500",
+            "--mcmc-steps", str(steps),
+            "--mcmc-burn", str(burn),
             "--mcmc-seed", "11",
         ]
     )
     prog = program.cli(command)
     t0 = time.time()
-    import contextlib
-
     buffer = io.StringIO()
     with contextlib.redirect_stdout(buffer):
         prog.run_stdout()
@@ -117,6 +122,52 @@ def main():
     n_records = sum(1 for ln in lines if not ln.startswith("#"))
     n_loci = 20
     assert n_records == n_loci, f"expected {n_loci} records, got {n_records}"
+    if out_vcf:
+        with open(out_vcf, "w") as f:
+            f.write(buffer.getvalue())
+    return dt, n_loci
+
+
+def run_call_pedigree(haplotypes_vcf, steps=1000, burn=500):
+    """Full ``mchap call-pedigree`` over the example's bi-parental
+    pedigree (22 samples) against a known-haplotypes VCF; returns
+    (wall_seconds, n_loci)."""
+    import contextlib
+    import warnings
+
+    bams, bed, vcf, fasta = ensure_fasta()
+    from mchap_tpu.application.call_pedigree import program
+
+    command = (
+        ["mchap", "call-pedigree", "--bam"]
+        + bams
+        + [
+            "--ploidy", "4",
+            "--haplotypes", haplotypes_vcf,
+            "--sample-parents", str(INPUT / "pedigree" / "pedigree.txt"),
+            "--mcmc-steps", str(steps),
+            "--mcmc-burn", str(burn),
+            "--mcmc-seed", "11",
+        ]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        prog = program.cli(command)
+    t0 = time.time()
+    buffer = io.StringIO()
+    with contextlib.redirect_stdout(buffer):
+        prog.run_stdout()
+    dt = time.time() - t0
+    lines = buffer.getvalue().splitlines()
+    n_records = sum(1 for ln in lines if not ln.startswith("#"))
+    assert n_records == 20, f"expected 20 records, got {n_records}"
+    return dt, n_records
+
+
+def main():
+    import jax
+
+    dt, n_loci = run_assemble(1000, 500)
     print(
         json.dumps(
             {
@@ -125,7 +176,6 @@ def main():
                 "unit": "loci/s (22 samples, 1000 steps, 2 chains)",
                 "seconds": round(dt, 1),
                 "backend": jax.default_backend(),
-                "n_records": n_records,
             }
         ),
         flush=True,
