@@ -1025,7 +1025,7 @@ def unpack_genotype_trace(packed, ploidy, n_alleles):
     jax.jit,
     static_argnames=(
         "n_steps", "ploidy", "p_recomb", "p_partial", "p_full",
-        "refresh", "stage", "packed", "interpret",
+        "refresh", "stage", "packed", "interpret", "chunk_override",
     ),
 )
 def pallas_denovo_sampler(
@@ -1047,6 +1047,7 @@ def pallas_denovo_sampler(
     stage=3,
     packed=False,
     interpret=False,
+    chunk_override=None,
 ):
     """Run the full de novo assembly MCMC for many chains on-core.
 
@@ -1105,13 +1106,20 @@ def pallas_denovo_sampler(
         # chain groups ("chunks") per kernel instance: the largest of
         # 4/2/1 that divides the lane-tile count (latency amortisation,
         # see _make_full_kernel); VMEM budget: lr is NB*A*R*CHUNK*128*4
-        # bytes, double-buffered
+        # bytes, double-buffered.  chunk_override (static arg) pins it
+        # for tuning experiments — measured on v5e: chunk=8 fails the
+        # Mosaic compile at both NB=16 (8.4 MB lr) and NB=8 (4.2 MB),
+        # so 4 is the widest packing this toolchain accepts.
         chunk = 1
-        for c in (4, 2):
-            lr_bytes = NB * A * R * c * LANES * 4
-            if n_lane_tiles % c == 0 and lr_bytes <= 5 * 1024 * 1024:
-                chunk = c
-                break
+        if chunk_override:
+            chunk = int(chunk_override)
+            assert n_lane_tiles % chunk == 0
+        else:
+            for c in (4, 2):
+                lr_bytes = NB * A * R * c * LANES * 4
+                if n_lane_tiles % c == 0 and lr_bytes <= 5 * 1024 * 1024:
+                    chunk = c
+                    break
         n_tiles = n_lane_tiles // chunk
     sc = n_tiles * chunk
     base = _next_pow2(max(A, 2))

@@ -116,6 +116,89 @@ CONFIGS = {
         ]
         + MCMC
     ),
+    # --- round-5 widening toward the reference's ~51-file breadth ---
+    # CRAM inputs must reproduce the BAM pipeline byte-for-byte
+    "simple.assemble.cram.seed11.vcf": _assemble(
+        [
+            data_path(b)
+            for b in (
+                "simple.sample1.broken.cram",
+                "simple.sample2.broken.cram",
+                "simple.sample3.broken.cram",
+            )
+        ],
+        [],
+    ),
+    "simple.assemble.deep.seed11.vcf": _assemble(DEEP_BAMS, []),
+    # temperature ladder x Dirichlet-multinomial prior crossing
+    "simple.assemble.temps-dirmul.seed11.vcf": _assemble(
+        BAMS, ["--mcmc-temperatures", "0.5", "1.0", "--use-dirmul-prior", "0.1"]
+    ),
+    # aggressive homozygote fixing changes the sampled state space
+    "simple.assemble.fixhom.seed11.vcf": _assemble(
+        BAMS, ["--mcmc-fix-homozygous", "0.9"]
+    ),
+    "simple.assemble.phred.seed11.vcf": _assemble(
+        BAMS, ["--use-base-phred-scores", "--base-error-rate", "0.01"]
+    ),
+    # pedigree option surface: gamete error / excess IBD (double
+    # reduction) / mixed per-sample gamete ploidies / reported fields
+    "simple.call-pedigree.gamerror.seed11.vcf": (
+        ["mchap", "call-pedigree", "--bam"]
+        + MIXED_BAMS
+        + [
+            "--ploidy", "4",
+            "--haplotypes", data_path("simple.output.mixed_depth.assemble.vcf"),
+            "--sample-parents", data_path("simple.pedigree.132.txt"),
+            "--gamete-error", "0.5",
+        ]
+        + MCMC
+    ),
+    "simple.call-pedigree.lambda.seed11.vcf": (
+        ["mchap", "call-pedigree", "--bam"]
+        + MIXED_BAMS
+        + [
+            "--ploidy", "4",
+            "--haplotypes", data_path("simple.output.mixed_depth.assemble.vcf"),
+            "--sample-parents", data_path("simple.pedigree.132.txt"),
+            "--gamete-ibd", "0.1",
+        ]
+        + MCMC
+    ),
+    "simple.call-pedigree.tau.seed11.vcf": (
+        ["mchap", "call-pedigree", "--bam"]
+        + MIXED_BAMS
+        + [
+            "--ploidy", "4",
+            "--haplotypes", data_path("simple.output.mixed_depth.assemble.vcf"),
+            "--sample-parents", data_path("simple.pedigree.132.txt"),
+            "--gamete-ploidy", data_path("simple.tau.132.txt"),
+        ]
+        + MCMC
+    ),
+    "simple.call-pedigree.report.seed11.vcf": (
+        ["mchap", "call-pedigree", "--bam"]
+        + MIXED_BAMS
+        + [
+            "--ploidy", "4",
+            "--haplotypes", data_path("simple.output.mixed_depth.assemble.vcf"),
+            "--sample-parents", data_path("simple.pedigree.132.txt"),
+            "--report", "ACP", "AFP", "AOP", "GP", "GL",
+        ]
+        + MCMC
+    ),
+    # known-haplotype prior frequencies through the pedigree sampler
+    "simple.call-pedigree.frequencies.seed11.vcf": (
+        ["mchap", "call-pedigree", "--bam"]
+        + MIXED_BAMS
+        + [
+            "--ploidy", "4",
+            "--haplotypes", data_path("mock.input.frequencies.vcf"),
+            "--sample-parents", data_path("simple.pedigree.132.txt"),
+            "--prior-frequencies", "AFP",
+        ]
+        + MCMC
+    ),
 }
 
 
