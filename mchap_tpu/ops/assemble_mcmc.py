@@ -761,6 +761,38 @@ def _hom_batch_probs(reads_b, n_alleles_mat, inbreeding_b, read_counts_b,
     return jax.vmap(one)(reads_b, n_alleles_mat, inbreeding_b, read_counts_b)
 
 
+def _hom_batch_probs_np(reads_b, n_alleles_mat, read_counts_b, ploidy):
+    """Numpy mirror of the flat-prior ``_hom_batch_probs`` for the
+    host-side screen route: same math (f32 dosage product + per-read
+    log, f64 summary reduction and normalisation), zero XLA compiles."""
+    import numpy as np
+
+    from mchap_tpu.numerics.combinadics import enumerate_genotypes
+    from mchap_tpu.ops.exact import genotype_dosage_table
+
+    n_samples, n_reads, nb, max_allele = reads_b.shape
+    table = np.asarray(enumerate_genotypes(max_allele, ploidy))  # [G, p]
+    dosage = np.asarray(
+        genotype_dosage_table(max_allele, ploidy), np.float32
+    )  # [G, A]
+    reads = np.asarray(reads_b, np.float32)
+    m = np.where(np.isnan(reads), np.float32(1.0), reads)  # [S, R, nb, A]
+    probs_rjg = (
+        np.einsum("srja,ga->srjg", m, dosage, optimize=True) / ploidy
+    )
+    read_log = np.log(np.maximum(probs_rjg, np.float32(1e-30)))
+    read_log *= np.asarray(read_counts_b, np.float32)[:, :, None, None]
+    llks = read_log.sum(axis=1, dtype=np.float64)  # [S, nb, G]
+    valid = np.all(
+        table[None, None, :, :] < np.asarray(n_alleles_mat)[:, :, None, None],
+        axis=-1,
+    )  # [S, nb, G]
+    logits = np.where(valid, llks, -np.inf)
+    mx = logits.max(axis=-1, keepdims=True)
+    e = np.exp(logits - mx)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
 def homozygosity_probabilities_batch(reads_b, n_alleles_mat, ploidy,
                                      use_prior=False, inbreeding_b=None,
                                      read_counts_b=None):
@@ -785,18 +817,47 @@ def homozygosity_probabilities_batch(reads_b, n_alleles_mat, ploidy,
         reads_b = np.full((n_samples, 1, nb, max_allele), np.nan)
         read_counts_b = np.ones((n_samples, 1))
 
-    # ship f32 inputs: the screen computes its heavy tensor in f32
-    # anyway, and the f64 reads upload was 2x the bytes through the
-    # remote tunnel (the single most transfer-bound call in the e2e
-    # pipeline)
-    probs = _hom_batch_probs(
-        jnp.asarray(np.asarray(reads_b, np.float32)),
-        jnp.asarray(n_alleles_mat),
-        jnp.asarray(inbreeding_b, jnp.float64),
-        jnp.asarray(np.asarray(read_counts_b, np.float32)),
-        ploidy=ploidy,
-        use_prior=use_prior,
-    )  # [S, nb, G]
+    # The screen's compute is ~30 ms per block, but dispatching it to a
+    # REMOTE accelerator pays the tunnel's upload + executable-load +
+    # worker-state costs, measured at 30-540 s per e2e run with no code
+    # change (BASELINE.md round-4).  The host CPU backend is always
+    # registered alongside, so by default the screen runs THERE whenever
+    # the main backend is an accelerator — deterministic ~1 s, no
+    # tunnel.  MCHAP_HOM_SCREEN={auto,host,device} overrides.
+    import os
+
+    screen_env = os.environ.get("MCHAP_HOM_SCREEN", "auto").strip().lower()
+    on_host = (
+        screen_env == "host"
+        or (screen_env == "auto" and jax.default_backend() != "cpu")
+    )
+
+    def _run_probs():
+        # f32 inputs: the screen computes its heavy tensor in f32
+        # anyway, and halving the bytes matters on the device path
+        return _hom_batch_probs(
+            jnp.asarray(np.asarray(reads_b, np.float32)),
+            jnp.asarray(n_alleles_mat),
+            jnp.asarray(inbreeding_b, jnp.float64),
+            jnp.asarray(np.asarray(read_counts_b, np.float32)),
+            ploidy=ploidy,
+            use_prior=use_prior,
+        )  # [S, nb, G]
+
+    if on_host and not use_prior:
+        # pure numpy on host: the XLA-CPU fallback pays an erratic
+        # per-shape-class compile (10-60 s observed; the persistent
+        # cache's CPU AOT artifacts don't reliably reload across
+        # machine-feature mismatches), while the screen itself is
+        # ~2e8 flops — milliseconds of BLAS
+        probs = _hom_batch_probs_np(
+            reads_b, n_alleles_mat, read_counts_b, ploidy
+        )
+    elif on_host:
+        with jax.default_device(jax.devices("cpu")[0]):
+            probs = _run_probs()
+    else:
+        probs = _run_probs()
     hom_idx = np.asarray(
         genotype_alleles_as_index(
             np.repeat(np.arange(max_allele)[:, None], ploidy, axis=1)

@@ -456,7 +456,13 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
             else:
                 rest = jnp.full((C, R, LANES), -1e30, jnp.float32)
 
-            def site_body(j, llk, h=h, rest=rest):
+            def site_body(j, carry, h=h, rest=rest):
+                # carry: (llk, per-row whole-row match counts d[h2] =
+                # sum_col (g_s[h2] == g_s[h])) — d is maintained
+                # INCREMENTALLY across the site loop (only column j can
+                # change per update), replacing a [C, NB, LANES]
+                # compare + reduce per other row per site
+                llk, d = carry
                 j_oh = (nb_iota == j).astype(jnp.float32)  # [1, NB, 1]
                 row_h = g_s[h, :, :, :]  # [C, NB, LANES]
                 cur = jnp.sum(row_h * j_oh, axis=1)  # [C, LANES]
@@ -473,22 +479,21 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
 
                 # copy-count proposal correction (mutation.py:84-139):
                 # rows equal to row h outside position j, per other row
-                d = []
                 colv = []
                 for h2 in range(P):
                     if h2 == h:
-                        d.append(None)
                         colv.append(cur)
                         continue
-                    eqrow = (g_s[h2, :, :, :] == row_h).astype(jnp.float32)
-                    d.append(jnp.sum(eqrow, axis=1))  # [C, LANES]
                     colv.append(jnp.sum(g_s[h2, :, :, :] * j_oh, axis=1))
                 eq_except = []
+                eqj_cur = []
                 for h2 in range(P):
                     if h2 == h:
                         eq_except.append(None)
+                        eqj_cur.append(None)
                         continue
                     eqj = (colv[h2] == cur).astype(jnp.float32)
+                    eqj_cur.append(eqj)
                     eq_except.append((d[h2] - eqj) >= jnp.float32(NB - 1))
 
                 if A == 2:
@@ -530,7 +535,15 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
                     rh_s[h, :, :, :] = b + lr_cur + jnp.where(
                         moved[:, None, :], lr_alt - lr_cur, 0.0
                     )
-                    return llk + movedf * (llk_alt - llk)
+                    d_new = tuple(
+                        d[h2]
+                        if h2 == h
+                        # A == 2: a flip turns a column match into a
+                        # mismatch and vice versa
+                        else d[h2] + movedf * (1.0 - 2.0 * eqj_cur[h2])
+                        for h2 in range(P)
+                    )
+                    return llk + movedf * (llk_alt - llk), d_new
 
                 # general path: score every allele
                 llks = []
@@ -607,10 +620,28 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
                     )
                 g_s[h, :, :, :] = row_h + j_oh * (new - cur)[:, None, :]
                 rh_s[h, :, :, :] = b + lr_new
-                return llk + movedf * (llk_new - llk)
+                d_new = tuple(
+                    d[h2]
+                    if h2 == h
+                    else d[h2]
+                    + movedf
+                    * ((colv[h2] == new).astype(jnp.float32) - eqj_cur[h2])
+                    for h2 in range(P)
+                )
+                return llk + movedf * (llk_new - llk), d_new
 
-            llk = jax.lax.fori_loop(
-                jnp.int32(0), jnp.int32(NB), site_body, llk, unroll=False
+            d0 = tuple(
+                jnp.zeros((C, LANES), jnp.float32)
+                if h2 == h
+                else jnp.sum(
+                    (g_s[h2, :, :, :] == g_s[h, :, :, :]).astype(jnp.float32),
+                    axis=1,
+                )
+                for h2 in range(P)
+            )
+            llk, _ = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(NB), site_body, (llk, d0),
+                unroll=False,
             )
 
         # ------------------------------------------------------------------
@@ -668,7 +699,8 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
                     n = n + v.astype(jnp.float32)
             return n
 
-        def structural_mh(mask, len_in, rh_int, gate, llk, kind):
+        def structural_mh(mask, len_in, rh_int, gate, llk, kind,
+                          full_interval=False):
             """One structural MH step given precomputed interval sums.
 
             Returns (llk', srcw, rh_int') where srcw[h][hp] [C, LANES]
@@ -730,18 +762,48 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
             pairs = RECOMB_PAIRS if kind == 0 else DOSAGE_PAIRS
             K = len(pairs)
             rows0 = [rh_s[h, :, :, :] for h in range(P)]
+            # shared-anchor linear-domain scoring of the CURRENT rows:
+            # one exp per row, and every excluded-row logsumexp (the
+            # per-pair "rest" terms) becomes adds + one log — vs a
+            # fresh max/exp/log chain per pair.  The excluded-row sums
+            # are built by ADDING the kept rows, never by subtracting
+            # from the total, so there is no cancellation when one row
+            # carries all the mass.  Candidate rows of PARTIAL-interval
+            # moves can exceed the anchor by an unbounded margin
+            # (interval sums of log-probs), so those keep logaddexp;
+            # with ``full_interval`` the candidate row IS an existing
+            # row (rows0[b2] <= anchor) and goes linear too — the
+            # full-length dosage step drops all 12 of its logaddexps.
+            m_anchor = rows0[0]
+            for h in range(1, P):
+                m_anchor = jnp.maximum(m_anchor, rows0[h])
+            e_rows = [jnp.exp(rows0[h] - m_anchor) for h in range(P)]
+
+            def sum_rows(hs):
+                acc = None
+                for h in hs:
+                    acc = e_rows[h] if acc is None else acc + e_rows[h]
+                if acc is None:
+                    acc = jnp.zeros((C, R, LANES), jnp.float32)
+                return acc
+
+            def log_of(e_sum):
+                return jnp.log(jnp.maximum(e_sum, 1e-30)) + m_anchor
+
             if kind == 0:
                 rest = {
-                    (a, b2): lse_of(
-                        [rows0[h] for h in range(P) if h != a and h != b2]
+                    (a, b2): log_of(
+                        sum_rows([h for h in range(P) if h != a and h != b2])
                     )
                     for (a, b2) in pairs
                 }
             else:
-                rest = {
-                    a: lse_of([rows0[h] for h in range(P) if h != a])
+                rest_e = {
+                    a: sum_rows([h for h in range(P) if h != a])
                     for a in set(a for (a, _) in pairs)
                 }
+                if not full_interval:
+                    rest = {a: log_of(e) for a, e in rest_e.items()}
 
             if use_prior:
                 eqf_cur = [
@@ -795,8 +857,11 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
                     sd_a = jnp.where(first_in[a], count_in[a], 0.0)
                     v = (first_full[a] & (jnp.abs(sd_a - 1.0) > 0.5)
                          & first_in[b2] & ~eq_in[a][b2])
-                    row_a = rows0[a] - rh_int[a] + rh_int[b2]
-                    cand = jnp.logaddexp(row_a, rest[a])
+                    if full_interval:
+                        cand = log_of(rest_e[a] + e_rows[b2])
+                    else:
+                        row_a = rows0[a] - rh_int[a] + rh_int[b2]
+                        cand = jnp.logaddexp(row_a, rest[a])
                     li = list(lab_in)
                     li[a] = lab_in[b2]
                 valid.append(v)
@@ -897,15 +962,27 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
             def seg_body(i, llk):
                 mask = (seg == i.astype(jnp.float32)).astype(jnp.float32)
                 len_in = jnp.sum(mask, axis=1)  # [C, LANES]
-                # per-haplotype interval partial sums (the heavy pass)
-                rh_int = []
-                for h in range(P):
-                    acc = jnp.zeros((C, R, LANES), jnp.float32)
-                    for j in range(NB):
-                        acc = acc + sel_lr_static(
-                            j, g_s[h, :, j, :], mrow=mask[:, j, :]
-                        )
-                    rh_int.append(acc)
+                # per-haplotype interval partial sums (the heavy pass);
+                # j-major so each position's lr block is loaded once and
+                # its allele-0/1 difference shared by all P rows, with
+                # the A == 2 gather as arithmetic select
+                rh_int = [
+                    jnp.zeros((C, R, LANES), jnp.float32) for _ in range(P)
+                ]
+                for j in range(NB):
+                    lr_j = lr_ref[j]  # [C, A, R, LANES]
+                    mrow = mask[:, j, :][:, None, :]  # [C, 1, LANES]
+                    if A == 2:
+                        lr0 = lr_j[:, 0]
+                        dlr = lr_j[:, 1] - lr0
+                        for h in range(P):
+                            val = g_s[h, :, j, :][:, None, :]
+                            rh_int[h] = rh_int[h] + mrow * (lr0 + val * dlr)
+                    else:
+                        for h in range(P):
+                            rh_int[h] = rh_int[h] + sel_lr_static(
+                                j, g_s[h, :, j, :], mrow=mask[:, j, :]
+                            )
                 llk, srcw, rh_int_new = structural_mh(
                     mask, len_in, rh_int, gate_r, llk, 0
                 )
@@ -933,7 +1010,7 @@ def _make_full_kernel(n_steps, ploidy, n_base, n_alleles, n_reads,
             llk, _, _ = structural_mh(
                 jnp.ones((C, NB, LANES), jnp.float32),
                 jnp.full((C, LANES), jnp.float32(NB)),
-                rh_full, gate_f, llk, 1,
+                rh_full, gate_f, llk, 1, full_interval=True,
             )
 
         # ------------------------------------------------------------------

@@ -170,3 +170,27 @@ def test_call_posterior_haplotypes_pools_population():
     alt_set = {h.tobytes() for h in haplotypes[1:]}
     assert HAPS[1].tobytes() in alt_set
     assert HAPS[2].tobytes() in alt_set
+
+
+def test_hom_screen_numpy_mirror_matches_jitted():
+    """The host-route numpy screen (flat prior) must match the jitted
+    screen within f32 rounding — the >= 0.999 fix decision depends on
+    it (ops/assemble_mcmc._hom_batch_probs_np)."""
+    import numpy as np
+
+    from mchap_tpu.ops import assemble_mcmc as K
+
+    rng = np.random.default_rng(0)
+    S, R, NB, A = 5, 24, 7, 3
+    reads = rng.uniform(0.0, 1.0, (S, R, NB, A))
+    reads[reads < 0.1] = np.nan
+    counts = rng.integers(1, 4, (S, R)).astype(float)
+    nall = rng.integers(1, A + 1, (S, NB)).astype(np.int32)
+    want = np.asarray(
+        K._hom_batch_probs(
+            np.asarray(reads, np.float32), nall, np.zeros(S),
+            np.asarray(counts, np.float32), ploidy=4, use_prior=False,
+        )
+    )
+    got = K._hom_batch_probs_np(reads, nall, counts, 4)
+    np.testing.assert_allclose(got, want, atol=1e-5)
