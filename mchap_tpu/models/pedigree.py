@@ -34,6 +34,12 @@ def _pallas_enabled():
         return False
     if env in ("1", "on", "true", "force"):
         return True
+    # an explicit f64 request (reference-parity debugging) means the
+    # f64 XLA path, not the f32 kernel
+    if os.environ.get("MCHAP_PEDIGREE_DTYPE", "").lower() in (
+        "f64", "float64",
+    ):
+        return False
     return jax.default_backend() != "cpu"
 
 

@@ -1015,8 +1015,10 @@ def pallas_pedigree_sampler(seed, rh, counts, freqs, n_valid, initial, *,
     """
     S, R0, H0, n_chains = rh.shape
     maxp = plan.max_ploidy
-    assert S == plan.n_samples
-    assert n_chains % LANES == 0
+    if S != plan.n_samples:
+        raise ValueError(f"rh has {S} samples, plan has {plan.n_samples}")
+    if n_chains % LANES != 0:
+        raise ValueError(f"n_chains {n_chains} not a multiple of {LANES}")
     n_tiles = n_chains // LANES
     R = ((R0 + 7) // 8) * 8
     H = ((H0 + 7) // 8) * 8
