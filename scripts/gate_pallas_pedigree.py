@@ -2,17 +2,20 @@
 
 Runs ON the TPU (the kernel's PRNG is a no-op under CPU interpret mode).
 Gates the VMEM-resident joint sampler's per-sample posteriors against
-brute-force enumeration of the full joint (llk x trio pmfs) for a
-diploid trio — the regime of
-tests/test_pedigree_mcmc.py::test_pedigree_mcmc_matches_exact and of
-reference test_pedigree/test_pedigree_classes.py:17-120 — with the
-parental-pair swap move enabled (its acceptance ratio is part of the
-stationary distribution being checked).
+brute-force enumeration of the full joint (llk x trio pmfs) — the
+regime of tests/test_pedigree_mcmc.py::test_pedigree_mcmc_matches_exact
+and of reference test_pedigree/test_pedigree_classes.py:17-120 — with
+the parental-pair swap move enabled (its acceptance ratio is part of
+the stationary distribution being checked).  Two scenarios:
+
+1. diploid trio, tau (1, 1) — the classic regime;
+2. tetraploid trio with MIXED gamete ploidies, tau (3, 1) — exercises
+   the kernel's static composition tables beyond the diploid-gamete
+   default.
 
 Usage: python scripts/gate_pallas_pedigree.py
 """
 
-import itertools
 import os
 
 import numpy as np
@@ -20,26 +23,26 @@ import numpy as np
 os.environ.setdefault("MCHAP_PEDIGREE_PALLAS", "1")
 
 
-def main():
+def run_scenario(name, ploidy, tau_child, steps, burn, atol):
     import jax
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # noqa: F401  (backend init)
 
     from mchap_tpu.models.pedigree import PedigreeCallingMCMC
-    from mchap_tpu.numerics.combinadics import enumerate_genotypes
-    from mchap_tpu.ops import pedigree_mcmc as K
     from mchap_tpu.ops.exact import genotype_likelihoods
-    from mchap_tpu.testing import simulate_reads
+    from mchap_tpu.testing import exact_pedigree_marginals, simulate_reads
     from mchap_tpu.utils import fallback as _fb
 
-    print("backend:", jax.default_backend(), flush=True)
-
     HAPS = np.array([[0, 0], [0, 1], [1, 1]], dtype=np.int8)
-    ploidy, n_samples = 2, 3
+    n_samples = 3
     parents = np.array([[-1, -1], [-1, -1], [0, 1]])
-    tau = np.full((3, 2), 1)
+    tau = np.full((3, 2), max(ploidy // 2, 1))
+    tau[2] = tau_child
     lam = np.zeros((3, 2))
     err = np.full((3, 2), 0.01)
-    truths = [HAPS[[0, 1]], HAPS[[1, 2]], HAPS[[0, 2]]]
+    rng = np.random.default_rng(3)
+    truths = [
+        HAPS[rng.integers(0, len(HAPS), ploidy)] for _ in range(n_samples)
+    ]
     reads = [
         simulate_reads(t, n_alleles=2, n_reads=4, qual=(14, 18), seed=i)
         for i, t in enumerate(truths)
@@ -51,11 +54,6 @@ def main():
         sample_reads[i, : len(r)] = r
         sample_counts[i, : len(r)] = 1
 
-    # exact joint enumeration oracle (same as the CPU test's)
-    table = enumerate_genotypes(len(HAPS), ploidy)
-    G = len(table)
-    tables, valid = K.composition_tables(ploidy)
-    log_freqs = np.log(np.full(3, 1 / 3))
     llks = np.stack(
         [
             np.asarray(
@@ -66,47 +64,9 @@ def main():
             for i in range(n_samples)
         ]
     )
-
-    def pad(vec):
-        out = np.full(ploidy, -1, np.int32)
-        out[: len(vec)] = vec
-        return out
-
-    def trio(i, combo):
-        p, q = parents[i]
-        has_p, has_q = p >= 0, q >= 0
-        return float(
-            K.trio_log_pmf(
-                jnp.asarray(pad(table[combo[i]])),
-                jnp.asarray(pad(table[combo[p]] if has_p else [])),
-                jnp.asarray(pad(table[combo[q]] if has_q else [])),
-                jnp.asarray(ploidy if has_p else 0),
-                jnp.asarray(ploidy if has_q else 0),
-                jnp.asarray(tau[i][0]),
-                jnp.asarray(tau[i][1]),
-                jnp.asarray(lam[i][0]),
-                jnp.asarray(lam[i][1]),
-                jnp.asarray(err[i][0] if has_p else 1.0),
-                jnp.asarray(err[i][1] if has_q else 1.0),
-                jnp.asarray(log_freqs),
-                jnp.asarray(tables),
-                jnp.asarray(valid),
-                jnp.asarray(K._COMB_LUT),
-            )
-        )
-
-    marginals = np.zeros((n_samples, G))
-    combos = list(itertools.product(range(G), repeat=n_samples))
-    joint_logs = [
-        sum(llks[i, c[i]] for i in range(n_samples))
-        + sum(trio(i, c) for i in range(n_samples))
-        for c in combos
-    ]
-    joint = np.exp(np.array(joint_logs) - max(joint_logs))
-    joint /= joint.sum()
-    for idx, combo in enumerate(combos):
-        for i in range(n_samples):
-            marginals[i, combo[i]] += joint[idx]
+    want = exact_pedigree_marginals(
+        llks, parents, tau, lam, err, len(HAPS), ploidy
+    )
 
     model = PedigreeCallingMCMC(
         sample_ploidy=np.full(3, ploidy),
@@ -115,7 +75,7 @@ def main():
         gamete_lambda=lam,
         gamete_error=err,
         haplotypes=HAPS,
-        steps=3000,
+        steps=steps,
         chains=2,
         random_seed=11,
         swap_parental_alleles=True,
@@ -123,22 +83,33 @@ def main():
     paths = []
     orig = _fb.note_path
     _fb.note_path = lambda s, p: (paths.append((s, p)), orig(s, p))
-    trace = model.fit(sample_reads, sample_counts).burn(500)
+    trace = model.fit(sample_reads, sample_counts).burn(burn)
     _fb.note_path = orig
     assert ("pedigree", "pallas") in paths, f"pallas path not taken: {paths}"
 
     worst = 0.0
     for i in range(n_samples):
         got = trace.individual(i).posterior().as_array(len(HAPS))
-        tv = 0.5 * np.abs(got - marginals[i]).sum()
+        tv = 0.5 * np.abs(got - want[i]).sum()
         worst = max(worst, tv)
-        print(f"sample {i}: TV(pallas, exact) = {tv:.4f}")
-        top = np.argsort(marginals[i])[::-1][:3]
-        for s in top:
-            print(f"  state {s}: exact={marginals[i][s]:.4f} "
-                  f"pallas={got[s]:.4f}")
-    print("TV(pallas, exact) =", round(float(worst), 4))
-    assert worst < 0.05, f"pallas pedigree vs exact TV too large: {worst}"
+        top = np.argsort(want[i])[::-1][:2]
+        detail = ", ".join(
+            f"state {s}: exact={want[i][s]:.4f} pallas={got[s]:.4f}"
+            for s in top
+        )
+        print(f"  [{name}] sample {i}: TV={tv:.4f} ({detail})")
+    print(f"TV({name}, exact) = {round(float(worst), 4)}")
+    assert worst < atol, f"{name}: pallas vs exact TV too large: {worst}"
+
+
+def main():
+    import jax
+
+    print("backend:", jax.default_backend(), flush=True)
+    run_scenario("trio", ploidy=2, tau_child=(1, 1), steps=3000, burn=500,
+                 atol=0.05)
+    run_scenario("tau31", ploidy=4, tau_child=(3, 1), steps=3000, burn=500,
+                 atol=0.05)
     print("GATE PASSED")
 
 
